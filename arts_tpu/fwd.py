@@ -1,0 +1,90 @@
+"""High-level forward operators: pure functions of (state, geometry, freq).
+
+Parity reference: the reference's workspace-free operator layer
+/root/reference/src/core/fwd/fwd_spectral_radiance.h (SpectralRadianceOperator
+— per-path radiance integration bypassing the Workspace) and the meta-method
+`spectral_radClearskyEmission` (src/workspace_meta_methods.cpp:166-181) whose
+10-step chain becomes one traced function here:
+
+  path -> atm points -> LBL propmat -> Planck source -> layer transmittances
+       -> backward emission recursion (+ background)
+
+Everything inside `simulate_clearsky` is jit/vmap/grad-able; Jacobians wrt
+any Scene leaf (T/VMR profiles, surface T, catalog parameters...) replace
+the reference's hand-built jacobian targets machinery (src/core/jacobian/).
+"""
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from . import constants as const
+from .atm import Atmosphere1D
+from .lbl.catalog import LineCatalog
+from .lbl.partfun import PartFunTable
+from .lbl.voigt import absorption
+from .ops.planck import planck
+from .rtepack.emission import emission_unpolarized
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ClearskyScene:
+    """Frozen scene state for clear-sky emission simulations."""
+
+    atm: Atmosphere1D
+    cat: LineCatalog
+    pf: PartFunTable
+    surface_temperature: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.asarray(288.0)
+    )
+    surface_emissivity: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.asarray(1.0)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("background", "block"))
+def simulate_clearsky(
+    scene: ClearskyScene,
+    f_grid,
+    path_alt,
+    path_dr,
+    background: str = "space",
+    block: int = 256,
+):
+    """Clear-sky spectral radiance [W/(m^2 Hz sr)] seen by the observer.
+
+    path_alt: [np] altitudes ordered observer -> background end;
+    path_dr: [np-1] layer lengths. background: "space" | "surface".
+    Zero-length segments are exact no-ops, so batched paths may be padded.
+    """
+    pts = scene.atm.at(path_alt)  # batched over path points
+
+    k = jax.vmap(
+        lambda t, p, v: absorption(f_grid, scene.cat, scene.pf, t, p, v, block=block)
+    )(pts.t, pts.p, pts.vmr)  # [np, F]
+
+    J = planck(f_grid[None, :], pts.t[:, None])  # [np, F]
+
+    if background == "surface":
+        b_surf = planck(f_grid, scene.surface_temperature)
+        I0 = scene.surface_emissivity * b_surf + (
+            1.0 - scene.surface_emissivity
+        ) * planck(f_grid, jnp.asarray(const.cosmic_microwave_background_temperature))
+    else:
+        I0 = planck(
+            f_grid, jnp.asarray(const.cosmic_microwave_background_temperature)
+        ) * jnp.ones_like(f_grid)
+
+    return emission_unpolarized(k, J, jnp.asarray(path_dr), I0)
+
+
+def simulate_clearsky_bt(scene, f_grid, path_alt, path_dr, background="space"):
+    """Planck brightness-temperature version (unit transform operator parity:
+    src/core/operators/spectral_radiance_transform_operator.cc)."""
+    from .ops.planck import inv_planck
+
+    I = simulate_clearsky(scene, f_grid, path_alt, path_dr, background=background)
+    return inv_planck(I, f_grid)

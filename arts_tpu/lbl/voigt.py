@@ -84,7 +84,10 @@ def _shape_sum(f_grid, s, f0s, inv_gd, z_imag, cutoff, block: int):
         z = ig_b[:, None] * (f_grid[None, :] - f0_b[:, None]) + 1j * zi_b[:, None]
         w = wofz(z)
         has_cut = jnp.isfinite(cut_b)
-        zcut = jnp.where(has_cut, ig_b * cut_b, 0.0) + 1j * zi_b
+        # sanitize inf cutoffs BEFORE the multiply: 0*inf inside a discarded
+        # where-branch still NaNs the product's cotangent in reverse mode
+        cut_safe = jnp.where(has_cut, cut_b, 0.0)
+        zcut = ig_b * cut_safe + 1j * zi_b
         wcut = jnp.where(has_cut[:, None], wofz(zcut)[:, None], 0.0)
         inside = jnp.abs(f_grid[None, :] - f0_b[:, None]) <= cut_b[:, None]
         contrib = jnp.where(inside, s_b[:, None] * (w - wcut), 0.0)

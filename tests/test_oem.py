@@ -1,0 +1,105 @@
+"""Full optimal-estimation retrieval test, mirroring the reference's
+tests/core/jac/full_optimal_estimation.py: simulate observations from a
+perturbed true state, retrieve from the a-priori, require the retrieved
+profile within 1% of truth (ATOL=0.01 in relative units)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from arts_tpu.fwd import simulate_clearsky
+from arts_tpu.retrieval import RetrievalTarget, StateMapping, oem
+from arts_tpu.sensor import gaussian_channels
+from tests.test_clearsky import F_GRID, SCENE, toa_nadir_path
+
+PATH = toa_nadir_path()
+ALT = jnp.asarray(PATH.alt)
+DR = jnp.asarray(PATH.dr)
+SENSOR = gaussian_channels(
+    np.asarray(F_GRID),
+    centers=np.linspace(175e9, 235e9, 25),
+    fwhm=2e9,
+)
+
+
+def measurement(scene):
+    I = simulate_clearsky(scene, F_GRID, ALT, DR, background="surface")
+    return SENSOR.apply(I[None, :])
+
+
+def vmr_targets():
+    def get(s):
+        return s.atm.vmr[0]
+
+    def set_(s, v):
+        return dataclasses.replace(
+            s, atm=dataclasses.replace(s.atm, vmr=s.atm.vmr.at[0].set(v))
+        )
+
+    return RetrievalTarget("vmr0", get, set_, transform="rel")
+
+
+def test_oem_recovers_perturbed_vmr():
+    mapping = StateMapping(targets=[vmr_targets()], ref_scene=SCENE)
+    n = mapping.n_state
+
+    # truth: +15% VMR bump in the lower troposphere
+    z = np.asarray(SCENE.atm.z)
+    bump = 1.0 + 0.15 * np.exp(-0.5 * ((z - 4e3) / 3e3) ** 2)
+    scene_true = mapping.to_scene(jnp.asarray(bump))
+    y_true = measurement(scene_true)
+
+    x_a = jnp.ones((n,))
+    noise = 1e-4 * np.abs(np.asarray(y_true)).mean()
+    S_e = jnp.eye(y_true.size) * noise**2
+    # smooth a-priori covariance (correlated, 30% sd)
+    d = np.abs(z[:, None] - z[None, :])
+    S_a = jnp.asarray(0.3**2 * np.exp(-d / 10e3))
+
+    def forward(x):
+        return measurement(mapping.to_scene(x))
+
+    res = oem(forward, x_a, y_true, S_a, S_e, method="gn", max_iter=10)
+    assert res.converged
+    # compare in the well-observed lower atmosphere (weighting functions
+    # vanish high up where the a-priori dominates)
+    x = np.asarray(res.x)
+    lo = z < 15e3
+    np.testing.assert_allclose(x[lo], bump[lo], atol=0.01)
+    # diagnostics sane
+    A = np.asarray(res.averaging_kernel)
+    assert A.shape == (n, n)
+    assert 0.0 < np.trace(A) <= n
+
+
+def test_oem_lm_matches_gn_result():
+    mapping = StateMapping(targets=[vmr_targets()], ref_scene=SCENE)
+    n = mapping.n_state
+    z = np.asarray(SCENE.atm.z)
+    bump = 1.0 + 0.1 * np.exp(-0.5 * ((z - 5e3) / 4e3) ** 2)
+    y_true = measurement(mapping.to_scene(jnp.asarray(bump)))
+    x_a = jnp.ones((n,))
+    S_e = jnp.eye(y_true.size) * (1e-4 * float(jnp.abs(y_true).mean())) ** 2
+    d = np.abs(z[:, None] - z[None, :])
+    S_a = jnp.asarray(0.3**2 * np.exp(-d / 10e3))
+
+    def forward(x):
+        return measurement(mapping.to_scene(x))
+
+    r_gn = oem(forward, x_a, y_true, S_a, S_e, method="gn", max_iter=10)
+    r_lm = oem(forward, x_a, y_true, S_a, S_e, method="lm", max_iter=15)
+    assert r_lm.converged
+    np.testing.assert_allclose(np.asarray(r_lm.x), np.asarray(r_gn.x), atol=2e-3)
+
+
+def test_sensor_contraction():
+    I = jnp.outer(jnp.ones(1), jnp.linspace(0.0, 1.0, F_GRID.size))
+    y = SENSOR.apply(I)
+    assert y.shape == (25,)
+    # normalized gaussian of a linear function = value at the center
+    f = np.asarray(F_GRID)
+    centers = np.linspace(175e9, 235e9, 25)
+    expect = np.interp(centers, f, np.linspace(0.0, 1.0, f.size))
+    np.testing.assert_allclose(np.asarray(y), expect, rtol=1e-3)

@@ -1,0 +1,378 @@
+"""Plane-parallel discrete-ordinates solver (DISORT), TPU-native.
+
+Parity reference: /root/reference/src/core/disort-cpp/disort.{h,cpp} (the
+C++ re-implementation of Pythonic-DISORT: per Fourier mode & layer an
+N x N eigen-decomposition, then a global banded boundary-value solve
+`solve_for_coefs` at disort.cpp:181, post-processing to intensities and
+fluxes) and 3rdparty/cdisort (classic Stamnes DISORT used for our golden
+values; delta-M per c_disort_set:3550, flux conventions per c_fluxes:2377).
+
+TPU-first redesign (batched, no per-frequency loop):
+  * the asymmetric (alpha-beta)(alpha+beta) eigenproblem (general `eig` in
+    the reference, disort-eigen.h:27 — unavailable on TPU) is reduced to a
+    SYMMETRIC one: with F = diag(sqrt(w/mu)) the system matrix is similar
+    to H1 H2 with H1, H2 symmetric; Cholesky -H1 = L L^T turns it into
+    eigh(-L^T H2 L).  Exact, differentiable, eigh batches on the MXU.
+  * the global banded BVP becomes a block-tridiagonal Thomas elimination
+    (lax.scan over layers, 2N x 2N blocks) in the unknowns
+    X_l = [C+_l; C-_l], with the diagonally-dominant equation grouping
+    {v-continuity at the layer top (strong in C+_l), u-continuity at the
+    layer bottom (strong in C-_l)} — the conditioning the reference's
+    banded LU gets from pivoting, by construction.
+  * Fourier modes are a batched leading axis (associated-Legendre tables
+    zero-padded below l < m, so one einsum covers all modes); frequencies
+    vmap outside.
+
+Layer solution representation (exponentials always decaying, the standard
+DISORT scaling):
+    u(t) = G+ C+ e^{-k t} + G- C- e^{-k (D - t)} + u_p(t)
+    v(t) = G- C+ e^{-k t} + G+ C- e^{-k (D - t)} + v_p(t)
+with t local optical depth from the layer top, D the scaled layer
+thickness, u upwelling / v downwelling at the positive quadrature nodes.
+"""
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .quadrature import double_gauss, lambda_at, lambda_tables
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DisortInput:
+    """Single-frequency inputs (vmap for spectra). L layers, level 0 = TOA.
+
+    Parity: DisortSettings per-frequency slice (disort.h:650-710).
+    """
+
+    tau: jax.Array  # [L] layer optical thickness (unscaled)
+    omega: jax.Array  # [L] single scattering albedo
+    leg: jax.Array  # [L, NLeg] phase moments g_l, g_0 = 1 (no 2l+1 factor)
+    f: jax.Array  # [L] delta-M fractional scattering (0 = off)
+    b_levels: jax.Array  # [L+1] thermal source (Planck) at levels; 0 = none
+    fbeam: jax.Array  # beam flux at TOA (perpendicular to beam)
+    fisot: jax.Array  # isotropic illumination at TOA
+    albedo: jax.Array  # Lambertian surface albedo
+    b_surf: jax.Array  # surface emission Planck radiance
+    b_top: jax.Array  # top-boundary emission radiance (temis * B(ttemp))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class DisortOutput:
+    """Per-level outputs; mu ascending (negative = downwelling) as cdisort."""
+
+    mu: jax.Array  # [NQuad]
+    flux_up: jax.Array  # [L+1]
+    flux_down_diffuse: jax.Array  # [L+1]
+    flux_direct: jax.Array  # [L+1] (unscaled beam)
+    u0: jax.Array  # [L+1, NQuad] azimuthally averaged intensity
+    u: Optional[jax.Array] = None  # [L+1, NQuad, nphi]
+
+
+def _eigen(Pp, Pm, omega, mu, w):
+    """Homogeneous solutions per (mode, layer): k [M,L,N], Gp/Gm [M,L,N,N]."""
+    c = 0.5 * omega  # [L]
+    inv_w = 1.0 / w
+    F = jnp.sqrt(w / mu)
+
+    cPp = c[None, :, None, None] * Pp
+    cPm = c[None, :, None, None] * Pm
+    S1 = cPp - cPm - jnp.diag(inv_w)
+    S2 = cPp + cPm - jnp.diag(inv_w)
+
+    H1 = F[:, None] * S1 * F[None, :]
+    H2 = F[:, None] * S2 * F[None, :]
+
+    Lc = jnp.linalg.cholesky(-H1)  # -H1 SPD for omega < 1
+    Hsym = -jnp.einsum("...ji,...jk,...kl->...il", Lc, H2, Lc)
+    k2, V = jnp.linalg.eigh(Hsym)
+    k = jnp.sqrt(jnp.maximum(k2, 1e-24))
+
+    E = jnp.sqrt(w * mu)
+    Y = (1.0 / E)[:, None] * jnp.einsum("...ij,...jk->...ik", Lc, V)
+    # F2 = M^-1 S2 W; g+ - g- = (F2 y)/k
+    F2Y = (1.0 / mu)[:, None] * jnp.einsum("...ij,...jk->...ik", S2 * w[None, :], Y)
+    D = F2Y / k[..., None, :]
+    Gp = 0.5 * (Y + D)
+    Gm = 0.5 * (Y - D)
+    return k, Gp, Gm
+
+
+def _solve_block_tridiag(Adn, Adiag, Aup, rhs):
+    """Thomas elimination for Adn[l] X[l-1] + Adiag[l] X[l] + Aup[l] X[l+1] = rhs[l].
+
+    Leading axis is the block index; trailing [..., B, B] / [..., B].
+    Adn[0] and Aup[-1] must be zero blocks.
+    """
+
+    def fwd(carry, inp):
+        Cprev, dprev = carry  # X[l-1] = dprev - Cprev X[l]
+        dn, dg, up, r = inp
+        Mod = dg - jnp.einsum("...ij,...jk->...ik", dn, Cprev)
+        rmod = r - jnp.einsum("...ij,...j->...i", dn, dprev)
+        Cn = jnp.linalg.solve(Mod, up)
+        dnew = jnp.linalg.solve(Mod, rmod[..., None])[..., 0]
+        return (Cn, dnew), (Cn, dnew)
+
+    B = Adiag.shape[-1]
+    batch = Adiag.shape[1:-2]
+    C0 = jnp.zeros(batch + (B, B), dtype=Adiag.dtype)
+    d0 = jnp.zeros(batch + (B,), dtype=Adiag.dtype)
+    _, (Cs, ds) = jax.lax.scan(fwd, (C0, d0), (Adn, Adiag, Aup, rhs))
+
+    def bwd(Xnext, inp):
+        C, d = inp
+        X = d - jnp.einsum("...ij,...j->...i", C, Xnext)
+        return X, X
+
+    _, Xs = jax.lax.scan(bwd, jnp.zeros_like(d0), (Cs, ds), reverse=True)
+    return Xs
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nquad", "nleg", "nfourier", "mu0", "phi0", "phis"),
+)
+def disort(
+    inp: DisortInput,
+    nquad: int = 16,
+    nleg: int | None = None,
+    nfourier: int | None = None,
+    mu0: float = 0.0,
+    phi0: float = 0.0,
+    phis: tuple = (),
+) -> DisortOutput:
+    """Solve one plane-parallel RT problem (vmap over frequency outside).
+
+    mu0/phi0/phis are static geometry (host-side scene setup); all
+    DisortInput fields are traced.
+    """
+    Lr = inp.tau.shape[-1]
+    N = nquad // 2
+    nleg = nleg or nquad
+    # computational phase expansion truncated at nquad moments (cdisort
+    # keeps GL(k) for k < nstr; higher moments act via delta-M f and the
+    # TMS/IMS corrections only)
+    nlegc = min(nleg, nquad)
+    M = int(nfourier if nfourier is not None else (nquad if mu0 > 0 else 1))
+
+    mu_np, w_np = double_gauss(N)
+    lam_np, sign_np = lambda_tables(M, nlegc, N)
+    mu = jnp.asarray(mu_np)
+    w = jnp.asarray(w_np)
+    lam = jnp.asarray(lam_np)
+    sign = jnp.asarray(sign_np)
+    lam0 = jnp.asarray(lambda_at(M, nlegc, mu0) if mu0 > 0 else np.zeros((M, nlegc)))
+
+    dtype = inp.tau.dtype
+    I_N = jnp.eye(N, dtype=dtype)
+
+    # ---- delta-M scaling (cdisort c_disort_set:3550-3562) ----
+    f = inp.f
+    omega = jnp.clip(inp.omega, 0.0, 1.0 - 1e-9)
+    wf = omega * f
+    omega_p = omega * (1.0 - f) / (1.0 - wf)
+    dtau_p = (1.0 - wf) * inp.tau
+    tau_p = jnp.concatenate([jnp.zeros((1,), dtype), jnp.cumsum(dtau_p)], 0)
+    tau_u = jnp.concatenate([jnp.zeros((1,), dtype), jnp.cumsum(inp.tau)], 0)
+    ls = jnp.arange(nlegc)
+    leg_scaled = (
+        (2.0 * ls + 1.0)
+        * (inp.leg[..., :nlegc] - f[:, None])
+        / (1.0 - f[:, None])
+    )
+
+    # ---- phase matrices and eigenstructure per (mode, layer) ----
+    Pp = jnp.einsum("lk,mki,mkj->mlij", leg_scaled, lam, lam)
+    Pm = jnp.einsum("lk,mk,mki,mkj->mlij", leg_scaled, sign, lam, lam)
+    k, Gp, Gm = _eigen(Pp, Pm, omega_p, mu, w)
+    Ek = jnp.exp(-k * dtau_p[None, :, None])  # [M,L,N]
+
+    c = 0.5 * omega_p
+    ApB = (1.0 / mu)[:, None] * (I_N - c[None, :, None, None] * (Pp - Pm) * w)
+    AmB = (1.0 / mu)[:, None] * (I_N - c[None, :, None, None] * (Pp + Pm) * w)
+
+    # ---- beam particular solution ----
+    has_beam = mu0 > 0.0
+    if has_beam:
+        delm0 = jnp.asarray(np.where(np.arange(M) == 0, 1.0, 0.0), dtype)
+        pref = (2.0 - delm0)[:, None] * (inp.fbeam * omega_p[None, :] / (4.0 * jnp.pi))
+        # q+ ~ p^m(mu_i, -mu0) ; q- ~ p^m(-mu_i, -mu0) (parity via sign)
+        qp = pref[..., None] * jnp.einsum("lk,mk,mki->mli", leg_scaled, sign * lam0, lam)
+        qm = pref[..., None] * jnp.einsum("lk,mk,mki->mli", leg_scaled, lam0, lam)
+        Amat = jnp.einsum("...ij,...jk->...ik", ApB, AmB)
+        rhs_s = jnp.einsum("...ij,...j->...i", ApB, (qp + qm) / mu) - (
+            (qp - qm) / mu
+        ) / mu0
+        Asys = Amat - I_N / (mu0 * mu0)
+        s = jnp.linalg.solve(Asys, rhs_s[..., None])[..., 0]
+        d = -mu0 * (jnp.einsum("...ij,...j->...i", AmB, s) - (qp + qm) / mu)
+        zp = 0.5 * (s + d)
+        zm = 0.5 * (s - d)
+        ebea = jnp.exp(-tau_p / mu0)  # [L+1], scaled attenuation
+    else:
+        zp = zm = jnp.zeros((M, Lr, N), dtype)
+        ebea = jnp.zeros((Lr + 1,), dtype)
+
+    # ---- thermal particular solution (mode 0): (1-w')(b0 + b1 t) ----
+    safe_dtau = jnp.where(dtau_p > 1e-30, dtau_p, 1.0)
+    b0 = inp.b_levels[:-1]
+    b1 = (inp.b_levels[1:] - inp.b_levels[:-1]) / safe_dtau
+    srcf = 1.0 - omega_p
+    e_over_mu = jnp.ones((N,), dtype) / mu
+    g1 = (srcf * b1)[:, None] * e_over_mu
+    g0v = (srcf * b0)[:, None] * e_over_mu
+    q1 = jnp.linalg.solve(AmB[0], g1[..., None])[..., 0]
+    p_minus_r = 2.0 * jnp.linalg.solve(ApB[0], q1[..., None])[..., 0]
+    p_plus_r = 2.0 * jnp.linalg.solve(AmB[0], g0v[..., None])[..., 0]
+    p0 = 0.5 * (p_plus_r + p_minus_r)
+    r0 = 0.5 * (p_plus_r - p_minus_r)
+
+    m0mask = jnp.asarray(np.arange(M) == 0, dtype)[:, None, None]
+    beam_top = ebea[None, :-1, None]
+    beam_bot = ebea[None, 1:, None]
+    up_top = m0mask * p0[None] + zp * beam_top
+    vp_top = m0mask * r0[None] + zm * beam_top
+    up_bot = m0mask * (p0 + q1 * dtau_p[:, None])[None] + zp * beam_bot
+    vp_bot = m0mask * (r0 + q1 * dtau_p[:, None])[None] + zm * beam_bot
+
+    # ---- boundary conditions ----
+    b_neg = m0mask[:, 0, :] * (inp.fisot + inp.b_top) * jnp.ones((M, N), dtype)
+    Rsurf = 2.0 * inp.albedo * jnp.ones((N, 1), dtype) * (w * mu)[None, :]
+    rhs_surf0 = (1.0 - inp.albedo) * inp.b_surf * jnp.ones((N,), dtype)
+    if has_beam:
+        rhs_surf0 = rhs_surf0 + (
+            inp.albedo * mu0 * inp.fbeam * ebea[-1] / jnp.pi
+        ) * jnp.ones((N,), dtype)
+    rhs_surf = m0mask[:, 0, :] * rhs_surf0[None, :]
+    Rsurf_m = m0mask[:, :, :1] * Rsurf[None]  # [M,N,N], zero for m > 0
+
+    GpE = Gp * Ek[..., None, :]
+    GmE = Gm * Ek[..., None, :]
+
+    def blk(a, b, c_, d_):
+        return jnp.concatenate(
+            [jnp.concatenate([a, b], -1), jnp.concatenate([c_, d_], -1)], -2
+        )
+
+    # Equation block l (2N rows) for unknowns X_l = [C+_l; C-_l]:
+    #   rows A (N): l = 0 -> top BC; l >= 1 -> v-continuity at interface l
+    #               (between layers l-1 and l), strong in C+_l
+    #   rows B (N): l <= L-2 -> u-continuity at interface l+1, strong in C-_l
+    #               l = L-1 -> surface BC
+    # rows A coefficients
+    # l = 0: Gm_0 C+_0 + GpE_0 C-_0 = b_neg - vp_top_0
+    # l >= 1: GmE_{l-1}C+_{l-1} + Gp_{l-1}C-_{l-1} - Gm_l C+_l - GpE_l C-_l = dv_l
+    #   dv_l = vp_top[l] - vp_bot[l-1]
+    A_dn = jnp.concatenate(
+        [jnp.zeros((M, 1, N, 2 * N), dtype),
+         jnp.concatenate([GmE[:, :-1], Gp[:, :-1]], -1)], 1
+    )  # on X_{l-1}
+    A_diag_first = jnp.concatenate([Gm[:, :1], GpE[:, :1]], -1)
+    A_diag_rest = jnp.concatenate([-Gm[:, 1:], -GpE[:, 1:]], -1)
+    A_diag = jnp.concatenate([A_diag_first, A_diag_rest], 1)  # on X_l
+    A_rhs = jnp.concatenate(
+        [
+            (b_neg - vp_top[:, 0])[:, None],
+            vp_top[:, 1:] - vp_bot[:, :-1],
+        ],
+        1,
+    )
+
+    # rows B coefficients
+    # l <= L-2: GpE_l C+_l + Gm_l C-_l - Gp_{l+1}C+_{l+1} - GmE_{l+1}C-_{l+1}
+    #   = du_{l+1} = up_top[l+1] - up_bot[l]
+    # l = L-1: (GpE - R GmE) C+ + (Gm - R Gp) C- = rhs_surf - up_bot + R vp_bot
+    RGmE = jnp.einsum("mij,mljk->mlik", Rsurf_m, GmE[:, -1:])
+    RGp = jnp.einsum("mij,mljk->mlik", Rsurf_m, Gp[:, -1:])
+    B_diag = jnp.concatenate(
+        [
+            jnp.concatenate([GpE[:, :-1], Gm[:, :-1]], -1),
+            jnp.concatenate([GpE[:, -1:] - RGmE, Gm[:, -1:] - RGp], -1),
+        ],
+        1,
+    )  # on X_l
+    B_up = jnp.concatenate(
+        [
+            jnp.concatenate([-Gp[:, 1:], -GmE[:, 1:]], -1),
+            jnp.zeros((M, 1, N, 2 * N), dtype),
+        ],
+        1,
+    )  # on X_{l+1}
+    B_rhs = jnp.concatenate(
+        [
+            up_top[:, 1:] - up_bot[:, :-1],
+            (
+                rhs_surf
+                - up_bot[:, -1]
+                + jnp.einsum("mij,mj->mi", Rsurf_m[:, :, :], vp_bot[:, -1])
+            )[:, None],
+        ],
+        1,
+    )
+
+    Adn = jnp.concatenate([A_dn, jnp.zeros((M, Lr, N, 2 * N), dtype)], -2)
+    Adiag = jnp.concatenate([A_diag, B_diag], -2)
+    Aup = jnp.concatenate([jnp.zeros((M, Lr, N, 2 * N), dtype), B_up], -2)
+    rhs = jnp.concatenate([A_rhs, B_rhs], -1)
+
+    # scan over layers: move layer axis first
+    X = _solve_block_tridiag(
+        jnp.moveaxis(Adn, 1, 0),
+        jnp.moveaxis(Adiag, 1, 0),
+        jnp.moveaxis(Aup, 1, 0),
+        jnp.moveaxis(rhs, 1, 0),
+    )  # [L, M, 2N]
+    Cp = jnp.moveaxis(X[..., :N], 0, 1)  # [M, L, N]
+    Cm = jnp.moveaxis(X[..., N:], 0, 1)
+
+    # ---- radiances at levels ----
+    def ev(Ga, Gb, Cp, Cm, part):
+        return (
+            jnp.einsum("mlij,mlj->mli", Ga, Cp)
+            + jnp.einsum("mlij,mlj->mli", Gb, Cm)
+            + part
+        )
+
+    u_top = ev(Gp, GmE, Cp, Cm, up_top)
+    v_top = ev(Gm, GpE, Cp, Cm, vp_top)
+    u_bot = ev(GpE, Gm, Cp, Cm, up_bot)
+    v_bot = ev(GmE, Gp, Cp, Cm, vp_bot)
+    u_lvl = jnp.concatenate([u_top, u_bot[:, -1:]], 1)  # [M, L+1, N]
+    v_lvl = jnp.concatenate([v_top, v_bot[:, -1:]], 1)
+
+    u0 = jnp.concatenate([v_lvl[0][..., ::-1], u_lvl[0]], -1)
+
+    fup = 2.0 * jnp.pi * jnp.einsum("j,j,lj->l", w, mu, u_lvl[0])
+    fdn_stream = 2.0 * jnp.pi * jnp.einsum("j,j,lj->l", w, mu, v_lvl[0])
+    if has_beam:
+        fdir_scaled = mu0 * inp.fbeam * ebea
+        fdir_true = mu0 * inp.fbeam * jnp.exp(-tau_u / mu0)
+        fdn = fdn_stream + fdir_scaled - fdir_true
+    else:
+        fdir_true = jnp.zeros_like(fup)
+        fdn = fdn_stream
+
+    u_out = None
+    if phis:
+        phis_arr = jnp.asarray(np.asarray(phis, dtype=np.float64) * np.pi / 180.0)
+        ms = jnp.arange(M)
+        cosm = jnp.cos(ms[:, None] * (np.pi / 180.0 * phi0 - phis_arr[None, :]))
+        dn_all = jnp.einsum("mlj,mp->ljp", v_lvl, cosm)[..., ::-1, :]
+        up_all = jnp.einsum("mlj,mp->ljp", u_lvl, cosm)
+        u_out = jnp.concatenate([dn_all, up_all], -2)
+
+    return DisortOutput(
+        mu=jnp.asarray(np.concatenate([-mu_np[::-1], mu_np])),
+        flux_up=fup,
+        flux_down_diffuse=fdn,
+        flux_direct=fdir_true,
+        u0=u0,
+        u=u_out,
+    )

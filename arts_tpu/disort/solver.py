@@ -221,9 +221,20 @@ def disort(
         ebea = jnp.zeros((Lr + 1,), dtype)
 
     # ---- thermal particular solution (mode 0): (1-w')(b0 + b1 t) ----
+    # For optically thin layers the linear-in-tau slope b1 = dB/dtau blows
+    # up (dtau ~ 1e-27 in an upper atmosphere), and the particular solution
+    # ~ mu*b1 cancels catastrophically against the homogeneous part.  A thin
+    # layer emits ~ tau*B regardless of slope, so switch to a constant
+    # source there (error O(dtau^2 dB), far below roundoff of the slope
+    # form).  cdisort is exposed to the same cancellation; we do better.
+    thin = dtau_p < 1e-5
     safe_dtau = jnp.where(dtau_p > 1e-30, dtau_p, 1.0)
-    b0 = inp.b_levels[:-1]
-    b1 = (inp.b_levels[1:] - inp.b_levels[:-1]) / safe_dtau
+    b0 = jnp.where(
+        thin, 0.5 * (inp.b_levels[1:] + inp.b_levels[:-1]), inp.b_levels[:-1]
+    )
+    b1 = jnp.where(
+        thin, 0.0, (inp.b_levels[1:] - inp.b_levels[:-1]) / safe_dtau
+    )
     srcf = 1.0 - omega_p
     e_over_mu = jnp.ones((N,), dtype) / mu
     g1 = (srcf * b1)[:, None] * e_over_mu

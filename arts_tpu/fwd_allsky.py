@@ -1,0 +1,155 @@
+"""All-sky (scattering) forward operator: gas LBL + particles -> DISORT.
+
+Parity reference: the meta-method chain `disort_spectral_rad_fieldProfile`
+(src/workspace_meta_methods.cpp:104-116; expanded in SURVEY.md 3.4):
+vertical profile path -> gas absorption -> particle bulk TRO properties ->
+DisortSettings (optical thickness from <K> dr, single-scattering albedo,
+Legendre coefficients, linear-in-tau thermal source, CMB top, surface) ->
+per-frequency DISORT solve (OpenMP loop at m_disort.cc:37-47).
+
+TPU-native: one traced function; the per-frequency loop is a vmap of the
+batched DISORT solver; gas absorption reuses the LBL kernel over path
+points x frequencies.
+"""
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from . import constants as const
+from .atm import Atmosphere1D
+from .disort import DisortInput, disort
+from .lbl.catalog import LineCatalog
+from .lbl.partfun import PartFunTable
+from .lbl.voigt import absorption
+from .ops.planck import planck
+from .scattering import HenyeyGreenstein, ScatteringHabit
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class HabitProfile:
+    """A scattering habit with a mass-content profile on the atm z-grid."""
+
+    habit_psd: ScatteringHabit
+    wc: jax.Array  # [Z] mass density on scene.atm.z [kg/m^3]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class AllskyScene:
+    atm: Atmosphere1D
+    cat: LineCatalog
+    pf: PartFunTable
+    scatterers: tuple  # HenyeyGreenstein | HabitProfile entries
+    surface_temperature: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.asarray(288.0)
+    )
+    surface_albedo: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.asarray(0.0)
+    )
+
+
+def _scatterer_profiles(sc, f_grid, z, t, nleg):
+    """(k_ext [F, Z], k_sca [F, Z], leg [F, Z, NLeg]) for one scatterer."""
+    F, Z = f_grid.shape[0], z.shape[0]
+    if isinstance(sc, HenyeyGreenstein):
+        k_ext, k_sca, leg = sc.bulk_properties(nleg)
+        return (
+            jnp.broadcast_to(k_ext, (F, Z)),
+            jnp.broadcast_to(k_sca, (F, Z)),
+            jnp.broadcast_to(leg, (F, Z, nleg)),
+        )
+    if isinstance(sc, HabitProfile):
+        fn = jax.vmap(
+            jax.vmap(
+                lambda f, wc, tt: sc.habit_psd.bulk_properties(f, wc, tt, nleg),
+                in_axes=(None, 0, 0),
+            ),
+            in_axes=(0, None, None),
+        )
+        return fn(f_grid, sc.wc, t)
+    raise TypeError(f"unknown scatterer {type(sc)}")
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nquad", "nleg", "nfourier", "mu0", "phis", "block")
+)
+def simulate_allsky(
+    scene: AllskyScene,
+    f_grid,
+    nquad: int = 16,
+    nleg: int | None = None,
+    nfourier: int | None = None,
+    mu0: float = 0.0,
+    fbeam=0.0,
+    phis: tuple = (),
+    block: int = 256,
+):
+    """DISORT radiance/flux field for a vertical profile of scene.atm.
+
+    Returns a DisortOutput with leading frequency axis; levels ordered
+    TOA -> surface (level L = surface), matching DISORT conventions.
+    """
+    nleg = nleg or nquad
+    # levels: atm grid descending in pressure = ascending altitude; DISORT
+    # wants TOA first
+    z = scene.atm.z[::-1]  # [Z] TOA..surface
+    pts = scene.atm.at(z)
+    F = f_grid.shape[0]
+    Z = z.shape[0]
+
+    k_gas = jax.vmap(
+        lambda t, p, v: absorption(f_grid, scene.cat, scene.pf, t, p, v, block=block)
+    )(pts.t, pts.p, pts.vmr)  # [Z, F]
+    k_gas = jnp.moveaxis(k_gas, 0, 1)  # [F, Z]
+
+    k_ext = k_gas
+    k_sca = jnp.zeros_like(k_gas)
+    leg_w = jnp.zeros(k_gas.shape + (nleg,))
+    for sc in scene.scatterers:
+        e, s, lg = _scatterer_profiles(sc, f_grid, z, pts.t, nleg)
+        k_ext = k_ext + e
+        k_sca = k_sca + s
+        leg_w = leg_w + lg
+
+    dz = -jnp.diff(z)  # [Z-1] positive layer thickness
+    lay = lambda a: 0.5 * (a[..., 1:] + a[..., :-1])
+    tau = lay(k_ext) * dz  # [F, L]
+    ksca_l = lay(k_sca) * dz
+    omega = jnp.where(tau > 0, ksca_l / jnp.maximum(tau, 1e-300), 0.0)
+    legl = lay(jnp.moveaxis(leg_w, -1, 0)) * dz  # [NLeg, F, L]
+    leg = jnp.moveaxis(
+        jnp.where(ksca_l > 0, legl / jnp.maximum(ksca_l, 1e-300), 0.0), 0, -1
+    )  # [F, L, NLeg]
+    leg = leg.at[..., 0].set(1.0)
+
+    b_levels = planck(f_grid[:, None], pts.t[None, :])  # [F, Z]
+    b_surf = planck(f_grid, scene.surface_temperature)
+    b_top = planck(
+        f_grid, jnp.asarray(const.cosmic_microwave_background_temperature)
+    )
+
+    fbeam_arr = jnp.broadcast_to(jnp.asarray(fbeam, f_grid.dtype), (F,))
+    zerF = jnp.zeros((F,), f_grid.dtype)
+
+    inp = DisortInput(
+        tau=tau,
+        omega=omega,
+        leg=leg,
+        f=jnp.zeros_like(tau),  # NoFractionalScattering default (ARTS chain)
+        b_levels=b_levels,
+        fbeam=fbeam_arr,
+        fisot=zerF,
+        albedo=jnp.broadcast_to(scene.surface_albedo, (F,)),
+        b_surf=b_surf,
+        b_top=b_top,
+    )
+    run = jax.vmap(
+        lambda i: disort(
+            i, nquad=nquad, nleg=nleg, nfourier=nfourier, mu0=mu0, phis=phis
+        )
+    )
+    return run(inp)

@@ -144,3 +144,61 @@ def absorption(
     if no_negative_absorption:
         alpha = jnp.maximum(alpha, 0.0)
     return alpha
+
+
+@functools.partial(
+    jax.jit, static_argnames=("no_negative_absorption", "tf", "tl", "wofz_n")
+)
+def absorption_pallas(
+    f_grid,
+    cat: LineCatalog,
+    pf: PartFunTable,
+    T,
+    P,
+    vmr,
+    no_negative_absorption: bool = True,
+    tf: int = 512,
+    tl: int = 256,
+    wofz_n: int = 24,
+):
+    """absorption() with the lines x freqs contraction in the Pallas TPU
+    kernel (ops/voigt_kernel.py). Identical math; tiled VMEM execution with
+    cutoff-window block skipping."""
+    from ..ops.voigt_kernel import voigt_sum
+
+    ls = lineshape_params(cat, T, P, vmr)
+    s, f0s, inv_gd, z_imag = line_strengths(cat, pf, T, vmr, ls)
+
+    has_cut = jnp.isfinite(cat.cutoff)
+    cut_safe = jnp.where(has_cut, cat.cutoff, 0.0)
+    wcut = jnp.where(has_cut, wofz(inv_gd * cut_safe + 1j * z_imag), 0.0)
+    cut_k = jnp.where(has_cut, cat.cutoff, 1e30)
+
+    # common anchor keeps f32 differences accurate
+    anchor = jnp.mean(f_grid)
+    shape_re = voigt_sum(
+        f_grid - anchor,
+        f0s - anchor,
+        inv_gd,
+        z_imag,
+        jnp.real(s),
+        jnp.imag(s),
+        cut_k,
+        jnp.real(wcut),
+        jnp.imag(wcut),
+        tf=tf,
+        tl=tl,
+        n=wofz_n,
+    )
+
+    N = P / (const.k * T)
+    scl = (
+        -N
+        * f_grid
+        * jnp.expm1(-(const.h * f_grid) / (const.k * T))
+        * (const.c**2 / (8.0 * jnp.pi))
+    )
+    alpha = scl * shape_re
+    if no_negative_absorption:
+        alpha = jnp.maximum(alpha, 0.0)
+    return alpha

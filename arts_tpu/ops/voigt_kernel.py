@@ -1,0 +1,226 @@
+"""Pallas TPU kernel for the lines x frequencies Voigt contraction.
+
+This is the framework's hottest loop — the reference spends its time in
+Faddeeva::w per (line, freq) inside OpenMP frequency chunks
+(/root/reference/src/m_lbl.cc:256-293, lbl_lineshape_voigt_lte.cpp:239).
+
+Kernel design (see pallas guide):
+  * grid = (freq tiles, line blocks); the output freq tile is revisited
+    across line blocks and accumulated in VMEM (reduction pattern).
+  * per (line, freq) element: z = inv_gd*(f - f0) + i*z_imag, w(z) via a
+    Weideman rational of configurable order (complex arithmetic hand-rolled
+    as real pairs on the VPU) blended with the asymptotic Laurent series
+    for large |z|; ByLine cutoff = masked subtraction of the precomputed
+    per-line w(z_cut).
+  * lines are sorted by f0; blocks whose cutoff windows cannot intersect
+    the frequency tile are skipped via @pl.when on block extrema (the TPU
+    analogue of the reference's active_lines span search, lbl_data.h:270).
+
+Frequencies/line centers should be passed pre-shifted by a common anchor
+(f - anchor) so float32 keeps sub-kHz resolution; line widths ~1e9 Hz.
+"""
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .wofz import _weideman_coeffs
+
+_INV_SQRT_PI = 1.0 / math.sqrt(math.pi)
+_ASYM_R2 = 512.0
+
+
+def _wofz_parts(zr, zi, n):
+    """w(z) for Im z >= 0 with hand-rolled complex math. Returns (wr, wi)."""
+    Lw, a = _weideman_coeffs(n)
+    dtype = zr.dtype
+    Lw = jnp.asarray(Lw, dtype)
+
+    # Weideman: Z = (L + i z)/(L - i z); iz = -zi + i zr
+    dr = Lw + zi  # Re(L - iz)
+    di = -zr  # Im(L - iz)
+    d2 = dr * dr + di * di
+    inv_d2 = 1.0 / d2
+    nr = Lw - zi  # Re(L + iz)
+    ni = zr  # Im(L + iz)
+    Zr = (nr * dr + ni * di) * inv_d2
+    Zi = (ni * dr - nr * di) * inv_d2
+    pr = jnp.zeros_like(zr)
+    pi = jnp.zeros_like(zr)
+    for c in a:
+        pr, pi = pr * Zr - pi * Zi + c, pr * Zi + pi * Zr
+    # w = (2 p / (L - iz) + 1/sqrt(pi)) / (L - iz)
+    t_r = (2.0 * (pr * dr + pi * di)) * inv_d2 + _INV_SQRT_PI
+    t_i = (2.0 * (pi * dr - pr * di)) * inv_d2
+    w_r = (t_r * dr + t_i * di) * inv_d2
+    w_i = (t_i * dr - t_r * di) * inv_d2
+
+    # asymptotic for large |z|: w = i/sqrt(pi) * s / z, s = sum c_k z^-2k
+    r2 = zr * zr + zi * zi
+    big = r2 > _ASYM_R2
+    zr_b = jnp.where(big, zr, 100.0)
+    zi_b = jnp.where(big, zi, 100.0)
+    rb2 = zr_b * zr_b + zi_b * zi_b
+    inv_rb2 = 1.0 / rb2
+    # 1/z^2 = (zr^2 - zi^2 - 2 i zr zi)/|z|^4
+    u_r = (zr_b * zr_b - zi_b * zi_b) * inv_rb2 * inv_rb2
+    u_i = (-2.0 * zr_b * zi_b) * inv_rb2 * inv_rb2
+    s_r = jnp.full_like(zr, 15.0 / 8.0)
+    s_i = jnp.zeros_like(zr)
+    for c in (3.0 / 4.0, 1.0 / 2.0, 1.0):
+        s_r, s_i = s_r * u_r - s_i * u_i + c, s_r * u_i + s_i * u_r
+    # i/(sqrt(pi) z) = i conj(z)/(sqrt(pi)|z|^2) = (zi + i zr)/(sqrt(pi)|z|^2)
+    f_r = zi_b * inv_rb2 * _INV_SQRT_PI
+    f_i = zr_b * inv_rb2 * _INV_SQRT_PI
+    wa_r = f_r * s_r - f_i * s_i
+    wa_i = f_r * s_i + f_i * s_r
+
+    return jnp.where(big, wa_r, w_r), jnp.where(big, wa_i, w_i)
+
+
+def _voigt_kernel(
+    fmin_ref,
+    fmax_ref,
+    f_ref,
+    f0_ref,
+    igd_ref,
+    zi_ref,
+    sr_ref,
+    si_ref,
+    cut_ref,
+    wcr_ref,
+    wci_ref,
+    out_ref,
+    *,
+    n,
+):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    # block skip: line block j against this freq tile (extrema prefetched)
+    i = pl.program_id(0)
+    lo = fmin_ref[j]  # min over block of f0 - cut
+    hi = fmax_ref[j]  # max over block of f0 + cut
+    tile_lo = f_ref[0, 0]
+    tile_hi = f_ref[0, -1]
+
+    @pl.when((hi >= tile_lo) & (lo <= tile_hi))
+    def _():
+        f = f_ref[0, :]  # [TF]
+        f0 = f0_ref[0, :]  # [TL]
+        igd = igd_ref[0, :]
+        zi = zi_ref[0, :]
+        sr = sr_ref[0, :]
+        si = si_ref[0, :]
+        cut = cut_ref[0, :]
+        wcr = wcr_ref[0, :]
+        wci = wci_ref[0, :]
+
+        df = f[None, :] - f0[:, None]  # [TL, TF]
+        zr = igd[:, None] * df
+        zim = jnp.broadcast_to(zi[:, None], zr.shape)
+        wr, wi = _wofz_parts(zr, zim, n)
+        wr = wr - wcr[:, None]
+        wi = wi - wci[:, None]
+        inside = jnp.abs(df) <= cut[:, None]
+        contrib = jnp.where(inside, sr[:, None] * wr - si[:, None] * wi, 0.0)
+        out_ref[:] += jnp.sum(contrib, axis=0, keepdims=True)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tf", "tl", "n", "interpret")
+)
+def voigt_sum(
+    f_grid,
+    f0,
+    inv_gd,
+    z_imag,
+    s_re,
+    s_im,
+    cutoff,
+    wcut_re,
+    wcut_im,
+    tf: int = 512,
+    tl: int = 256,
+    n: int = 24,
+    interpret: bool = False,
+):
+    """Re sum_l s_l (w(z_l(f)) - wcut_l) masked to |f-f0_l| <= cut_l. [F].
+
+    All inputs 1D; pad lines with s = 0, cutoff = -1. Frequencies and f0
+    should share a common anchor shift for f32 use. cutoff must be finite
+    (use a huge value like 1e30 for 'no cutoff' with wcut = 0).
+    """
+    F = f_grid.shape[0]
+    L = f0.shape[0]
+    dtype = f_grid.dtype
+    nf = -(-F // tf)
+    nl = -(-L // tl)
+    padF = nf * tf - F
+    padL = nl * tl - L
+
+    if padF:
+        f_grid = jnp.pad(f_grid, (0, padF), constant_values=f_grid[-1])
+    pads = lambda x, v=0.0: jnp.pad(x, (0, padL), constant_values=v)
+    if padL:
+        f0 = pads(f0)
+        inv_gd = pads(inv_gd)
+        z_imag = pads(z_imag)
+        s_re = pads(s_re)
+        s_im = pads(s_im)
+        cutoff = pads(cutoff, -1.0)
+        wcut_re = pads(wcut_re)
+        wcut_im = pads(wcut_im)
+
+    # per-block window extrema (host-side jnp, tiny)
+    win_lo = jnp.min((f0 - cutoff).reshape(nl, tl), axis=1)
+    win_hi = jnp.max((f0 + cutoff).reshape(nl, tl), axis=1)
+
+    row = lambda x: x.reshape(1, -1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # win_lo, win_hi
+        grid=(nf, nl),
+        in_specs=[
+            pl.BlockSpec((1, tf), lambda i, j, *_: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tl), lambda i, j, *_: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tl), lambda i, j, *_: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tl), lambda i, j, *_: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tl), lambda i, j, *_: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tl), lambda i, j, *_: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tl), lambda i, j, *_: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tl), lambda i, j, *_: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tl), lambda i, j, *_: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tf), lambda i, j, *_: (0, i), memory_space=pltpu.VMEM
+        ),
+    )
+
+    out = pl.pallas_call(
+        functools.partial(_voigt_kernel, n=n),
+        out_shape=jax.ShapeDtypeStruct((1, nf * tf), dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(
+        win_lo,
+        win_hi,
+        row(f_grid),
+        row(f0),
+        row(inv_gd),
+        row(z_imag),
+        row(s_re),
+        row(s_im),
+        row(cutoff),
+        row(wcut_re),
+        row(wcut_im),
+    )
+    return out[0, :F]

@@ -41,8 +41,8 @@ class HabitProfile:
 @dataclasses.dataclass(frozen=True)
 class AllskyScene:
     atm: Atmosphere1D
-    cat: LineCatalog
-    pf: PartFunTable
+    cat: LineCatalog | None
+    pf: PartFunTable | None
     scatterers: tuple  # HenyeyGreenstein | HabitProfile entries
     surface_temperature: jax.Array = dataclasses.field(
         default_factory=lambda: jnp.asarray(288.0)
@@ -50,17 +50,29 @@ class AllskyScene:
     surface_albedo: jax.Array = dataclasses.field(
         default_factory=lambda: jnp.asarray(0.0)
     )
+    # static config: predefined absorption models and the species tags
+    # naming the rows of atm.vmr (parity: abs_speciesSet + agendaAuto,
+    # src/m_abs.cc:234-300 assembling AddLines + AddPredefined)
+    predef: tuple = dataclasses.field(metadata=dict(static=True), default=())
+    species_names: tuple = dataclasses.field(
+        metadata=dict(static=True), default=()
+    )
 
 
 def _scatterer_profiles(sc, f_grid, z, t, nleg):
-    """(k_ext [F, Z], k_sca [F, Z], leg [F, Z, NLeg]) for one scatterer."""
+    """(k_ext [F, Z], k_sca [F, Z], leg [F, Z, NLeg]) for one scatterer.
+
+    Scatterer profile arrays live on scene.atm.z (ascending altitude); the
+    caller's level order is TOA-first, so profiles are flipped here.
+    """
     F, Z = f_grid.shape[0], z.shape[0]
     if isinstance(sc, HenyeyGreenstein):
         k_ext, k_sca, leg = sc.bulk_properties(nleg)
+        flip = lambda a: a[..., ::-1] if a.ndim and a.shape[-1] == Z else a
         return (
-            jnp.broadcast_to(k_ext, (F, Z)),
-            jnp.broadcast_to(k_sca, (F, Z)),
-            jnp.broadcast_to(leg, (F, Z, nleg)),
+            jnp.broadcast_to(k_ext[..., ::-1], (F, Z)),
+            jnp.broadcast_to(k_sca[..., ::-1], (F, Z)),
+            jnp.broadcast_to(leg[..., ::-1, :], (F, Z, nleg)),
         )
     if isinstance(sc, HabitProfile):
         fn = jax.vmap(
@@ -70,7 +82,7 @@ def _scatterer_profiles(sc, f_grid, z, t, nleg):
             ),
             in_axes=(0, None, None),
         )
-        return fn(f_grid, sc.wc, t)
+        return fn(f_grid, sc.wc[::-1], t)
     raise TypeError(f"unknown scatterer {type(sc)}")
 
 
@@ -101,9 +113,18 @@ def simulate_allsky(
     F = f_grid.shape[0]
     Z = z.shape[0]
 
-    k_gas = jax.vmap(
-        lambda t, p, v: absorption(f_grid, scene.cat, scene.pf, t, p, v, block=block)
-    )(pts.t, pts.p, pts.vmr)  # [Z, F]
+    def gas_abs(t, p, v):
+        a = jnp.zeros_like(f_grid)
+        if scene.cat is not None and scene.cat.n_lines > 0:
+            a = a + absorption(f_grid, scene.cat, scene.pf, t, p, v, block=block)
+        if scene.predef:
+            from .predefined import predefined_absorption
+
+            vmrs = {tag: v[i] for i, tag in enumerate(scene.species_names)}
+            a = a + predefined_absorption(scene.predef, f_grid, t, p, vmrs)
+        return a
+
+    k_gas = jax.vmap(gas_abs)(pts.t, pts.p, pts.vmr)  # [Z, F]
     k_gas = jnp.moveaxis(k_gas, 0, 1)  # [F, Z]
 
     k_ext = k_gas

@@ -110,7 +110,7 @@ def _voigt_kernel(
     lo = fmin_ref[j]  # min over block of f0 - cut
     hi = fmax_ref[j]  # max over block of f0 + cut
     tile_lo = f_ref[0, 0]
-    tile_hi = f_ref[0, -1]
+    tile_hi = f_ref[0, f_ref.shape[1] - 1]
 
     @pl.when((hi >= tile_lo) & (lo <= tile_hi))
     def _():

@@ -1,0 +1,205 @@
+"""Predefined (continuum / full) absorption models, vectorized JAX.
+
+Parity reference: /root/reference/src/core/predefined/ — PWR98.cc (water
+:40-244, oxygen :297-434) and standard.cc (nitrogen :120-151, water self/
+foreign continua :166-260).  Coefficient tables are the published
+Rosenkranz model data (Radio Science 33(4) 919, 1998; Janssen 1993 Chap 2).
+
+Each model maps (f_grid [Hz], T [K], p [Pa], vmrs dict) -> absorption
+coefficient [1/m], already multiplied by the species VMR (the reference
+returns pxsec = abs/vmr and multiplies outside; we fold it in).
+All models are elementwise in frequency -> fuse on the VPU and vmap over
+atmospheric points.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# PWR98 H2O (Rosenkranz 1998): 15 lines + empirical continuum
+# ---------------------------------------------------------------------------
+_PWR_FL = np.array([
+    22.2350800, 183.3101170, 321.2256400, 325.1529190, 380.1973720,
+    439.1508120, 443.0182950, 448.0010750, 470.8889470, 474.6891270,
+    488.4911330, 556.9360020, 620.7008070, 752.0332270, 916.1715820,
+])
+_PWR_S1 = np.array([
+    1.31e-14, 2.273e-12, 8.036e-14, 2.694e-12, 2.438e-11,
+    2.179e-12, 4.624e-13, 2.562e-11, 8.369e-13, 3.263e-12,
+    6.659e-13, 1.531e-9, 1.707e-11, 1.011e-9, 4.227e-11,
+])
+_PWR_B2 = np.array([
+    2.144, 0.668, 6.179, 1.541, 1.048, 3.595, 5.048, 1.405,
+    3.597, 2.379, 2.852, 0.159, 2.391, 0.396, 1.441,
+])
+_PWR_W3 = np.array([
+    0.00281, 0.00281, 0.00230, 0.00278, 0.00287, 0.00210, 0.00186,
+    0.00263, 0.00215, 0.00236, 0.00260, 0.00321, 0.00244, 0.00306, 0.00267,
+])
+_PWR_X = np.array([
+    0.69, 0.64, 0.67, 0.68, 0.54, 0.63, 0.60, 0.66, 0.66, 0.65,
+    0.69, 0.69, 0.71, 0.68, 0.70,
+])
+_PWR_WS = np.array([
+    0.01349, 0.01491, 0.01080, 0.01350, 0.01541, 0.00900, 0.00788,
+    0.01275, 0.00983, 0.01095, 0.01313, 0.01320, 0.01140, 0.01253, 0.01275,
+])
+_PWR_XS = np.array([
+    0.61, 0.85, 0.54, 0.74, 0.89, 0.52, 0.50, 0.67, 0.65, 0.64,
+    0.72, 1.00, 0.68, 0.84, 0.78,
+])
+
+
+def h2o_pwr98(f_grid, t, p_pa, vmrs):
+    """H2O lines + continuum (PWR98.cc:40-244). Returns alpha [1/m]."""
+    vmr = vmrs["H2O"]
+    pvap_dummy = 1e-2 * p_pa
+    pvap = 1e-2 * p_pa * vmr
+    pda = 1e-2 * p_pa - pvap
+    den_dummy = 3.335e16 * (2.1667 * p_pa / t)
+    ti = 300.0 / t
+    ti2 = ti**2.5
+    con = (
+        pvap_dummy
+        * ti**3
+        * 1.0e-9
+        * (0.543 * pda + 17.96 * pvap * ti**4.5)
+    )
+
+    ff = f_grid * 1e-9  # [F] GHz
+    fl = jnp.asarray(_PWR_FL)  # [L]
+    width = _PWR_W3 * pda * ti ** jnp.asarray(_PWR_X) + _PWR_WS * pvap * ti ** jnp.asarray(
+        _PWR_XS
+    )  # [L]
+    wsq = width * width
+    strength = _PWR_S1 * ti2 * jnp.exp(jnp.asarray(_PWR_B2) * (1.0 - ti))
+    df0 = ff[:, None] - fl[None, :]  # [F, L]
+    df1 = ff[:, None] + fl[None, :]
+    base = width / (wsq + 562500.0)  # [L]
+    res = jnp.where(
+        jnp.abs(df0) < 750.0, width / (df0 * df0 + wsq) - base, 0.0
+    ) + jnp.where(jnp.abs(df1) < 750.0, width / (df1 * df1 + wsq) - base, 0.0)
+    sums = jnp.sum(strength * res * (ff[:, None] / fl[None, :]) ** 2, axis=1)
+    absl = 0.3183e-4 * den_dummy * sums
+    return vmr * 1.0e-3 * (absl + con * ff * ff)
+
+
+# ---------------------------------------------------------------------------
+# PWR98 O2: 60-GHz complex + mm lines + continuum (Rosenkranz 1993/98)
+# ---------------------------------------------------------------------------
+_O2_F = np.array([
+    118.7503, 56.2648, 62.4863, 58.4466, 60.3061, 59.5910, 59.1642,
+    60.4348, 58.3239, 61.1506, 57.6125, 61.8002, 56.9682, 62.4112,
+    56.3634, 62.9980, 55.7838, 63.5685, 55.2214, 64.1278, 54.6712,
+    64.6789, 54.1300, 65.2241, 53.5957, 65.7648, 53.0669, 66.3021,
+    52.5424, 66.8368, 52.0214, 67.3696, 51.5034, 67.9009, 368.4984,
+    424.7632, 487.2494, 715.3931, 773.8397, 834.1458,
+])
+_O2_S300 = np.array([
+    0.2936e-14, 0.8079e-15, 0.2480e-14, 0.2228e-14, 0.3351e-14, 0.3292e-14,
+    0.3721e-14, 0.3891e-14, 0.3640e-14, 0.4005e-14, 0.3227e-14, 0.3715e-14,
+    0.2627e-14, 0.3156e-14, 0.1982e-14, 0.2477e-14, 0.1391e-14, 0.1808e-14,
+    0.9124e-15, 0.1230e-14, 0.5603e-15, 0.7842e-15, 0.3228e-15, 0.4689e-15,
+    0.1748e-15, 0.2632e-15, 0.8898e-16, 0.1389e-15, 0.4264e-16, 0.6899e-16,
+    0.1924e-16, 0.3229e-16, 0.8191e-17, 0.1423e-16, 0.6494e-15, 0.7083e-14,
+    0.3025e-14, 0.1835e-14, 0.1158e-13, 0.3993e-14,
+])
+_O2_Y300 = np.array([
+    -0.0233, 0.2408, -0.3486, 0.5227, -0.5430, 0.5877, -0.3970, 0.3237,
+    -0.1348, 0.0311, 0.0725, -0.1663, 0.2832, -0.3629, 0.3970, -0.4599,
+    0.4695, -0.5199, 0.5187, -0.5597, 0.5903, -0.6246, 0.6656, -0.6942,
+    0.7086, -0.7325, 0.7348, -0.7546, 0.7702, -0.7864, 0.8083, -0.8210,
+    0.8439, -0.8529, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
+])
+_O2_W300 = np.array([
+    1.630, 1.646, 1.468, 1.449, 1.382, 1.360, 1.319, 1.297, 1.266, 1.248,
+    1.221, 1.207, 1.181, 1.171, 1.144, 1.139, 1.110, 1.108, 1.079, 1.078,
+    1.050, 1.050, 1.020, 1.020, 1.000, 1.000, 0.970, 0.970, 0.940, 0.940,
+    0.920, 0.920, 0.890, 0.890, 1.920, 1.920, 1.920, 1.810, 1.810, 1.810,
+])
+_O2_BE = np.array([
+    0.009, 0.015, 0.083, 0.084, 0.212, 0.212, 0.391, 0.391, 0.626, 0.626,
+    0.915, 0.915, 1.260, 1.260, 1.660, 1.665, 2.119, 2.115, 2.624, 2.625,
+    3.194, 3.194, 3.814, 3.814, 4.484, 4.484, 5.224, 5.224, 6.004, 6.004,
+    6.844, 6.844, 7.744, 7.744, 0.048, 0.044, 0.049, 0.145, 0.141, 0.145,
+])
+_O2_V = np.array([
+    0.0079, -0.0978, 0.0844, -0.1273, 0.0699, -0.0776, 0.2309, -0.2825,
+    0.0436, -0.0584, 0.6056, -0.6619, 0.6451, -0.6759, 0.6547, -0.6675,
+    0.6135, -0.6139, 0.2952, -0.2895, 0.2654, -0.2590, 0.3750, -0.3680,
+    0.5085, -0.5002, 0.6206, -0.6091, 0.6526, -0.6393, 0.6640, -0.6475,
+    0.6729, -0.6545, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
+])
+_O2_IS118 = np.abs(_O2_F - 118.75) < 0.10
+
+
+def o2_pwr98(f_grid, t, p_pa, vmrs):
+    """O2 60-GHz complex + mm lines + continuum (PWR98.cc:297-434)."""
+    vmr = vmrs["O2"]
+    h2o = vmrs.get("H2O", 0.0)
+    WB300, X = 0.56, 0.80
+    TH = 300.0 / t
+    TH1 = TH - 1.0
+    B = TH**X
+    PRESWV = 1e-2 * p_pa * h2o
+    PRESDA = 1e-2 * p_pa * (1.0 - h2o)
+    DEN = 0.001 * (PRESDA * B + 1.1 * PRESWV * TH)
+    DENS = 0.001 * (PRESDA + 1.1 * PRESWV) * TH
+    DFNR = WB300 * DEN
+    CCONT = 1.23e-10 * TH**2 * p_pa
+
+    ff = f_grid * 1e-9
+    CONT = CCONT * (ff * ff * DFNR / (ff * ff + DFNR * DFNR))
+
+    DF = _O2_W300 * jnp.where(jnp.asarray(_O2_IS118), DENS, DEN)  # [L]
+    Y = 0.001 * 0.01 * p_pa * B * (_O2_Y300 + _O2_V * TH1)
+    STR = _O2_S300 * jnp.exp(-jnp.asarray(_O2_BE) * TH1)
+    fl = jnp.asarray(_O2_F)
+    dm = ff[:, None] - fl[None, :]
+    dp = ff[:, None] + fl[None, :]
+    SF1 = (DF + dm * Y) / (dm * dm + DF * DF)
+    SF2 = (DF - dp * Y) / (dp * dp + DF * DF)
+    SUM = jnp.sum(STR * (SF1 + SF2) * (ff[:, None] / fl[None, :]) ** 2, axis=1)
+    return vmr * (CONT + 2.414322e7 * SUM * p_pa * TH**3 / jnp.pi)
+
+
+# ---------------------------------------------------------------------------
+# Standard (Rosenkranz 1993) continua
+# ---------------------------------------------------------------------------
+def n2_self_standard(f_grid, t, p_pa, vmrs):
+    """N2-N2 continuum (standard.cc:120-151)."""
+    n2 = vmrs["N2"]
+    C, xf, xt, xp = 1.05e-38, 2.0, 3.55, 2.0
+    return n2 * C * (300.0 / t) ** xt * f_grid**xf * p_pa**xp * n2 ** (xp - 1)
+
+
+def h2o_self_standard(f_grid, t, p_pa, vmrs):
+    """H2O self continuum (standard.cc:242: C (300/T)^(x+3) p_h2o^2 f^2)."""
+    vmr = vmrs["H2O"]
+    C, x = 1.796e-33, 4.5
+    return vmr * C * (300.0 / t) ** (x + 3.0) * (p_pa * vmr) * p_pa * f_grid**2
+
+
+def h2o_foreign_standard(f_grid, t, p_pa, vmrs):
+    """H2O foreign continuum (standard.cc:190: C (300/T)^(x+3) p pdry f^2)."""
+    vmr = vmrs["H2O"]
+    C, x = 5.43e-35, 0.0
+    pdry = p_pa * (1.0 - vmr)
+    return vmr * C * (300.0 / t) ** (x + 3.0) * p_pa * pdry * f_grid**2
+
+
+PREDEF_MODELS = {
+    "H2O-PWR98": h2o_pwr98,
+    "O2-PWR98": o2_pwr98,
+    "N2-SelfContStandardType": n2_self_standard,
+    "H2O-SelfContStandardType": h2o_self_standard,
+    "H2O-ForeignContStandardType": h2o_foreign_standard,
+}
+
+
+def predefined_absorption(names, f_grid, t, p_pa, vmrs):
+    """Sum of the named predefined models' absorption [1/m]."""
+    alpha = jnp.zeros_like(f_grid)
+    for name in names:
+        alpha = alpha + PREDEF_MODELS[name](f_grid, t, p_pa, vmrs)
+    return alpha

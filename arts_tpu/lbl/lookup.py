@@ -1,0 +1,127 @@
+"""Absorption lookup table: train with the LBL kernel, evaluate with
+differentiable interpolation.
+
+Parity reference: /root/reference/src/core/lookup/lookup_map.h —
+`lookup::table` stores xsec[T_pert x water_pert x log(p) x f] around a
+reference profile (t_ref, water_ref on a pressure grid) and evaluates with
+Lagrange interpolation per axis (orders configurable); trained by
+abs_lookup_dataPrecompute / FromProfiles (src/m_lookup.cc:175,258).
+
+TPU-native: training batches the LBL kernel over the full
+(T_pert x w_pert x p) grid in one vmap; evaluation is a fused multilinear
+gather (differentiable in T, p, vmr -> usable inside OEM retrievals).
+The stored quantity is cross-section-per-molecule of the species
+(alpha / (n * vmr)) so the table is linear in the species amount except
+for the explicit water perturbation axis (self-broadening), as in the
+reference.
+"""
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .. import constants as const
+from .catalog import LineCatalog
+from .partfun import PartFunTable
+from .voigt import absorption
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class AbsLookupTable:
+    """Lookup for one species (index spec_idx in the VMR vector)."""
+
+    log_p_grid: jax.Array  # [P] ascending log(p)
+    t_ref: jax.Array  # [P] reference temperature profile
+    w_ref: jax.Array  # [P] reference water (self) vmr profile
+    t_pert: jax.Array  # [NT] temperature perturbations
+    w_pert: jax.Array  # [NW] water scaling factors (1.0 = ref)
+    f_grid: jax.Array  # [F]
+    xsec: jax.Array  # [NT, NW, P, F] cross section per molecule [m^2]
+    spec_idx: int = dataclasses.field(metadata=dict(static=True), default=0)
+
+    def absorption(self, T, P, vmr):
+        """alpha [F] at one point (differentiable in T, P, vmr)."""
+
+        def locate(grid, x):
+            i1 = jnp.clip(jnp.searchsorted(grid, x), 1, grid.shape[0] - 1)
+            i0 = i1 - 1
+            w = (x - grid[i0]) / (grid[i1] - grid[i0])
+            return i0, i1, jnp.clip(w, 0.0, 1.0)
+
+        lp = jnp.log(P)
+        pi0, pi1, pw = locate(self.log_p_grid, lp)
+        # local references at this pressure
+        tr = (1 - pw) * self.t_ref[pi0] + pw * self.t_ref[pi1]
+        wr = (1 - pw) * self.w_ref[pi0] + pw * self.w_ref[pi1]
+        dt = T - tr
+        ti0, ti1, tw = locate(self.t_pert, dt)
+        wfac = vmr[self.spec_idx] / jnp.maximum(wr, 1e-30)
+        wi0, wi1, ww = locate(self.w_pert, wfac)
+
+        x = self.xsec
+
+        def gp(ti, wi):
+            return (1 - pw) * x[ti, wi, pi0] + pw * x[ti, wi, pi1]
+
+        def gw(ti):
+            return (1 - ww) * gp(ti, wi0) + ww * gp(ti, wi1)
+
+        xs = (1 - tw) * gw(ti0) + tw * gw(ti1)  # [F]
+        n = P / (const.k * T)
+        return xs * n * vmr[self.spec_idx]
+
+
+def train_lookup(
+    f_grid,
+    cat: LineCatalog,
+    pf: PartFunTable,
+    p_grid,
+    t_ref,
+    w_ref,
+    vmr_ref,
+    spec_idx: int,
+    t_pert,
+    w_pert,
+    block: int = 256,
+):
+    """Precompute the table with the LBL kernel (abs_lookup_dataPrecompute
+    parity): one vmapped sweep over (t_pert x w_pert x p)."""
+    p_grid = jnp.asarray(p_grid)
+    t_ref = jnp.asarray(t_ref)
+    w_ref = jnp.asarray(w_ref)
+    # store ascending in pressure (searchsorted requirement)
+    order = jnp.argsort(p_grid)
+    p_grid, t_ref, w_ref = p_grid[order], t_ref[order], w_ref[order]
+    t_pert = jnp.asarray(t_pert)
+    w_pert = jnp.asarray(w_pert)
+    vmr_ref = jnp.asarray(vmr_ref)
+
+    def xsec_point(dt, wfac, ip):
+        T = t_ref[ip] + dt
+        P = p_grid[ip]
+        vmr = vmr_ref.at[spec_idx].set(w_ref[ip] * wfac)
+        a = absorption(
+            f_grid, cat, pf, T, P, vmr, no_negative_absorption=False, block=block
+        )
+        n = P / (const.k * T)
+        return a / (n * jnp.maximum(vmr[spec_idx], 1e-30))
+
+    ip = jnp.arange(p_grid.shape[0])
+    fn = jax.vmap(
+        jax.vmap(jax.vmap(xsec_point, (None, None, 0)), (None, 0, None)),
+        (0, None, None),
+    )
+    xsec = fn(t_pert, w_pert, ip)  # [NT, NW, P, F]
+    return AbsLookupTable(
+        log_p_grid=jnp.log(p_grid),
+        t_ref=t_ref,
+        w_ref=w_ref,
+        t_pert=t_pert,
+        w_pert=w_pert,
+        f_grid=jnp.asarray(f_grid),
+        xsec=xsec,
+        spec_idx=spec_idx,
+    )

@@ -1,0 +1,226 @@
+"""Zeeman-split polarized absorption.
+
+Parity reference: /root/reference/src/core/lbl/lbl_zeeman.{h,cpp} —
+  - sublines: for polarization pi/sigma+/sigma- (dM = 0/+1/-1), lower-state
+    M enumeration with strengths C * wigner3j(Jl, 1, Ju; Ml, dM, -Mu)^2,
+    C = 1.5 (pi) / 0.75 (sigma) (lbl_zeeman.h:154) — with these factors the
+    polarization-summed absorption reduces exactly to the unpolarized line
+  - splitting: df = (mu_B/h) H (Mu gu - Ml gl) (lbl_zeeman.h:342)
+  - Hund-case g-factors gu/gl stored per line (catalog data; SimpleGCaseB
+    for O2-66 etc.)
+  - geometry: theta (B vs LOS) and eta (polarization rotation) from
+    magnetic_angles (lbl_zeeman.cpp:321-359); the 7-component polarization
+    matrices per type (lbl_zeeman.cpp:413-455)
+
+TPU-native design: Zeeman components become *pseudo-lines* — a static
+host-side expansion (line index, polarization, splitting coefficient,
+relative strength); the traced evaluation shifts each pseudo-line by
+H * split and reuses the same lines x freqs Voigt contraction per
+polarization, then assembles the full 7-component propagation matrix.
+Hand-written dnorm_view_du/dv/dw derivative code in the reference is
+replaced by autodiff through the angle formulas.
+"""
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.special import gammaln
+
+from .. import constants as const
+from .catalog import LineCatalog
+from .partfun import PartFunTable
+from .voigt import _shape_sum, line_strengths, lineshape_params
+
+POLS = ("pi", "sm", "sp")
+DM = {"pi": 0, "sm": -1, "sp": 1}
+POL_FACTOR = {"pi": 1.5, "sm": 0.75, "sp": 0.75}
+
+
+def wigner3j_dipole(jl, ml, dm, ju):
+    """wigner3j(Jl, 1, Ju; Ml, dM, -Mu) with Mu = Ml + dM (Racah formula,
+    host-side; integers or half-integers)."""
+    mu = ml + dm
+    if abs(ml) > jl or abs(mu) > ju or abs(ju - jl) > 1 or ju + jl < 1:
+        return 0.0
+
+    def lf(x):
+        return gammaln(x + 1.0)
+
+    j1, j2, j3 = jl, 1.0, ju
+    m1, m2, m3 = ml, dm, -mu
+    # triangle coefficient
+    pref = 0.5 * (
+        lf(j1 + j2 - j3)
+        + lf(j1 - j2 + j3)
+        + lf(-j1 + j2 + j3)
+        - lf(j1 + j2 + j3 + 1)
+        + lf(j1 + m1)
+        + lf(j1 - m1)
+        + lf(j2 + m2)
+        + lf(j2 - m2)
+        + lf(j3 + m3)
+        + lf(j3 - m3)
+    )
+    tmin = int(max(0.0, max(j2 - j3 - m1, j1 - j3 + m2)))
+    tmax = int(min(j1 + j2 - j3, min(j1 - m1, j2 + m2)))
+    s = 0.0
+    for t in range(tmin, tmax + 1):
+        denom = (
+            lf(t)
+            + lf(j3 - j2 + m1 + t)
+            + lf(j3 - j1 - m2 + t)
+            + lf(j1 + j2 - j3 - t)
+            + lf(j1 - m1 - t)
+            + lf(j2 + m2 - t)
+        )
+        s += (-1.0) ** t * math.exp(pref - denom)
+    return (-1.0) ** int(round(j1 - j2 - m3)) * s
+
+
+def zeeman_components(ju, jl, pol):
+    """(ml array, mu array, strengths) for one line and polarization."""
+    dm = DM[pol]
+    C = POL_FACTOR[pol]
+    mls, strengths = [], []
+    m = -jl
+    while m <= jl + 1e-9:
+        w = wigner3j_dipole(jl, m, dm, ju)
+        if w != 0.0:
+            mls.append(m)
+            strengths.append(C * w * w)
+        m += 1.0
+    mls = np.asarray(mls)
+    return mls, mls + dm, np.asarray(strengths)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ZeemanCatalog:
+    """Base catalog + per-polarization pseudo-line expansions."""
+
+    cat: LineCatalog
+    # per polarization (pi, sm, sp): padded arrays
+    idx: tuple  # 3 x [K] int32 indices into cat lines
+    split: tuple  # 3 x [K] splitting coefficients [Hz/T]
+    strength: tuple  # 3 x [K] relative strengths
+
+
+def expand_zeeman(cat: LineCatalog, ju, jl, gu_z, gl_z) -> ZeemanCatalog:
+    """Host-side component expansion. ju/jl: [L] J quantum numbers;
+    gu_z/gl_z: [L] Lande g factors (0 disables splitting for a line)."""
+    C = const.bohr_magneton / const.h
+    idx_t, split_t, strength_t = [], [], []
+    for pol in POLS:
+        ii, ss, st = [], [], []
+        for l in range(cat.n_lines):
+            if gu_z[l] == 0.0 and gl_z[l] == 0.0:
+                # unsplit line: single component at zero shift, strength from
+                # the 'no' polarization convention folded into pi? ARTS keeps
+                # unsplit lines on the no-polarization path; we put the full
+                # line in each of pi/sigma with the closure weights so the
+                # summed propmat reduces to the isotropic line.
+                ii.append(l)
+                ss.append(0.0)
+                st.append({"pi": 0.5, "sm": 0.25, "sp": 0.25}[pol])
+                continue
+            mls, mus, w = zeeman_components(float(ju[l]), float(jl[l]), pol)
+            for k in range(len(w)):
+                ii.append(l)
+                ss.append(C * (mus[k] * gu_z[l] - mls[k] * gl_z[l]))
+                st.append(w[k])
+        idx_t.append(jnp.asarray(np.asarray(ii, dtype=np.int32)))
+        split_t.append(jnp.asarray(np.asarray(ss)))
+        strength_t.append(jnp.asarray(np.asarray(st)))
+    return ZeemanCatalog(
+        cat=cat, idx=tuple(idx_t), split=tuple(split_t), strength=tuple(strength_t)
+    )
+
+
+def magnetic_angles(mag, los_za_deg, los_aa_deg):
+    """(H, theta, eta) from magnetic field [T] (u=E, v=N, w=Up) and LOS
+    angles in degrees (lbl_zeeman.cpp:321-392)."""
+    u, v, w = mag[..., 0], mag[..., 1], mag[..., 2]
+    sa = jnp.sin(jnp.deg2rad(los_aa_deg))
+    ca = jnp.cos(jnp.deg2rad(los_aa_deg))
+    sz = jnp.sin(jnp.deg2rad(los_za_deg))
+    cz = jnp.cos(jnp.deg2rad(los_za_deg))
+    H = jnp.sqrt(u * u + v * v + w * w)
+    uct = sz * sa * u + sz * ca * v + cz * w
+    duct = u * sa * cz + v * ca * cz - w * sz
+    safeH = jnp.where(H > 0, H, 1.0)
+    theta = jnp.where(H > 0, jnp.arccos(jnp.clip(uct / safeH, -1.0, 1.0)), 0.0)
+    eta = -jnp.arctan2(ca * u - sa * v, -duct)
+    return H, theta, eta
+
+
+def pol_matrices(theta, eta):
+    """7-component polarization matrices per type (lbl_zeeman.cpp:413)."""
+    CT = jnp.cos(theta)
+    ST2 = jnp.sin(theta) ** 2
+    Q = ST2 * jnp.cos(2 * eta)
+    U = ST2 * jnp.sin(2 * eta)
+    z = jnp.zeros_like(ST2)
+    stack = lambda *c: jnp.stack(jnp.broadcast_arrays(*c), axis=-1)
+    return {
+        "pi": stack(ST2, -Q, U, z, z, U, Q),
+        "sm": stack(2 - ST2, Q, -U, 2 * CT, -2 * CT, -U, -Q),
+        "sp": stack(2 - ST2, Q, -U, -2 * CT, 2 * CT, -U, -Q),
+    }
+
+
+def zeeman_propmat(
+    f_grid,
+    zcat: ZeemanCatalog,
+    pf: PartFunTable,
+    T,
+    P,
+    vmr,
+    mag,
+    los_za_deg,
+    los_aa_deg=0.0,
+    block: int = 256,
+):
+    """Full polarized propagation matrix [F, 7] at one atmospheric point.
+
+    Parity: lbl voigt::lte::calculate with ZeemanPolarization pi/sm/sp
+    (lbl_lineshape_voigt_lte.cpp:1652) — per-polarization Voigt sums scaled
+    by the geometric polarization matrices.
+    """
+    cat = zcat.cat
+    ls = lineshape_params(cat, T, P, vmr)
+    s, f0s, inv_gd, z_imag = line_strengths(cat, pf, T, vmr, ls)
+    H, theta, eta = magnetic_angles(mag, los_za_deg, los_aa_deg)
+    npm = pol_matrices(theta, eta)
+
+    N = P / (const.k * T)
+    scl = (
+        -N
+        * f_grid
+        * jnp.expm1(-(const.h * f_grid) / (const.k * T))
+        * (const.c**2 / (8.0 * jnp.pi))
+    )
+
+    pm = jnp.zeros(f_grid.shape + (7,), dtype=f_grid.dtype)
+    for p_i, pol in enumerate(POLS):
+        idx = zcat.idx[p_i]
+        f0_k = f0s[idx] + H * zcat.split[p_i]
+        # note: ARTS updates inv_gd with the shifted f0 (update_iz); the
+        # relative shift is ~1e-6 so we follow the same recipe
+        gd_part = jnp.sqrt(
+            const.doppler_broadening_const_squared * T / cat.iso_mass[idx]
+        )
+        inv_gd_k = 1.0 / (gd_part * f0_k)
+        z_imag_k = ls[idx, 0] * inv_gd_k  # G0 * inv_gd
+        s_k = (
+            zcat.strength[p_i]
+            * s[idx]
+            * (inv_gd_k / inv_gd[idx])  # strength carries inv_gd factor
+        )
+        shape = _shape_sum(
+            f_grid, s_k, f0_k, inv_gd_k, z_imag_k, cat.cutoff[idx], block
+        )
+        pm = pm + npm[pol][None, :] * (scl * jnp.real(shape))[:, None]
+    return pm

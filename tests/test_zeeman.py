@@ -1,0 +1,117 @@
+"""Zeeman module tests: closure to the unpolarized line at zero field,
+polarization structure along/across the field, strength sum rules, and
+polarized RT sanity (mirrors the reference's tests/core/zeeman suite
+methodology)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import arts_tpu.constants as const
+from arts_tpu.lbl.catalog import build_catalog
+from arts_tpu.lbl.partfun import rigid_rotor_table
+from arts_tpu.lbl.tmodel import Law
+from arts_tpu.lbl.voigt import absorption
+from arts_tpu.lbl.zeeman import (
+    expand_zeeman,
+    magnetic_angles,
+    pol_matrices,
+    wigner3j_dipole,
+    zeeman_components,
+    zeeman_propmat,
+)
+
+LINES = [
+    dict(
+        f0=118.75e9,
+        a=1e-5,
+        e0=0.0,
+        gu=5.0,
+        gl=3.0,
+        iso_mass=32.0,
+        iso_ratio=1.0,
+        spec_idx=0,
+        iso_idx=0,
+        band_idx=0,
+        t0=296.0,
+        cutoff=np.inf,
+        ls={"bath": {"G0": (Law.T1, [2.0e4, 0.75])}},
+    )
+]
+CAT = build_catalog(LINES)
+PF = rigid_rotor_table(1, 150.0, 1.0)
+# O2-like line J 1 -> 0? use Ju=1, Jl=1 with g ~ -2.8 (spin-rotation)
+ZCAT = expand_zeeman(CAT, ju=[1.0], jl=[1.0], gu_z=[-2.8], gl_z=[-2.77])
+T, P = 230.0, 3e3
+VMR = jnp.asarray([0.21])
+F = jnp.linspace(118.75e9 - 5e6, 118.75e9 + 5e6, 201)
+
+
+def test_wigner3j_values():
+    # exact: (1 1 1; 0 0 0) = 0, (1 1 1; 1 0 -1) = 1/sqrt(6)
+    assert wigner3j_dipole(1.0, 0.0, 0, 1.0) == pytest.approx(0.0, abs=1e-14)
+    np.testing.assert_allclose(
+        abs(wigner3j_dipole(1.0, 1.0, 0, 1.0)), 1 / np.sqrt(6), rtol=1e-12
+    )
+    # (1 1 0; 1 -1 0) = 1/sqrt(3)
+    np.testing.assert_allclose(
+        abs(wigner3j_dipole(1.0, 1.0, -1, 0.0)), 1 / np.sqrt(3), rtol=1e-12
+    )
+
+
+def test_strength_sum_rules():
+    for ju, jl in [(1.0, 1.0), (2.0, 1.0), (1.0, 2.0), (3.0, 3.0)]:
+        tot = 0.0
+        for pol in ("pi", "sm", "sp"):
+            _, _, w = zeeman_components(ju, jl, pol)
+            # per-polarization normalized sums: pi = 1/2, sigma = 1/4
+            np.testing.assert_allclose(
+                w.sum(), 0.5 if pol == "pi" else 0.25, rtol=1e-10
+            )
+            tot += w.sum()
+    np.testing.assert_allclose(tot, 1.0, rtol=1e-10)
+
+
+def test_zero_field_reduces_to_unpolarized():
+    mag = jnp.zeros(3)
+    pm = zeeman_propmat(F, ZCAT, PF, T, P, VMR, mag, 180.0)
+    a_ref = np.asarray(
+        absorption(F, CAT, PF, T, P, VMR, no_negative_absorption=False)
+    )
+    np.testing.assert_allclose(np.asarray(pm[:, 0]), a_ref, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(pm[:, 1:]), 0.0, atol=1e-22)
+
+
+def test_field_splits_and_polarizes():
+    mag = jnp.asarray([0.0, 0.0, 50e-6])  # 50 uT vertical
+    # looking up: LOS along B -> theta = 0: only sigma, V component strong
+    pm_par = zeeman_propmat(F, ZCAT, PF, T, P, VMR, mag, 0.0)
+    pm_par = np.asarray(pm_par)
+    assert np.abs(pm_par[:, 3]).max() > 0  # D (V-coupling) nonzero
+    np.testing.assert_allclose(pm_par[:, 1], 0.0, atol=1e-25)  # no Q along B
+    # perpendicular: theta = 90 deg: pi/sigma mix -> Q (B component) nonzero
+    pm_perp = np.asarray(
+        zeeman_propmat(F, ZCAT, PF, T, P, VMR, mag, 90.0, 0.0)
+    )
+    assert np.abs(pm_perp[:, 1]).max() > 0
+    # splitting: with field, the A-profile broadens (lower peak)
+    pm0 = np.asarray(zeeman_propmat(F, ZCAT, PF, T, P, VMR, jnp.zeros(3), 0.0))
+    assert pm_par[:, 0].max() < pm0[:, 0].max()
+    # total area in A preserved (line strength conservation)
+    np.testing.assert_allclose(
+        np.trapezoid(pm_par[:, 0], np.asarray(F)),
+        np.trapezoid(pm0[:, 0], np.asarray(F)),
+        rtol=1e-3,
+    )
+
+
+def test_angles():
+    H, th, eta = magnetic_angles(jnp.asarray([0.0, 0.0, 30e-6]), 0.0, 0.0)
+    np.testing.assert_allclose(float(H), 30e-6)
+    np.testing.assert_allclose(float(th), 0.0, atol=1e-12)  # up-looking along B
+    H2, th2, _ = magnetic_angles(jnp.asarray([0.0, 0.0, 30e-6]), 90.0, 0.0)
+    np.testing.assert_allclose(float(th2), np.pi / 2, rtol=1e-10)
+    # polarization matrices: closure sum over pols with strengths 1/2,1/4,1/4
+    mats = pol_matrices(jnp.asarray(0.7), jnp.asarray(0.3))
+    tot = 0.5 * mats["pi"] + 0.25 * mats["sm"] + 0.25 * mats["sp"]
+    np.testing.assert_allclose(np.asarray(tot), [1, 0, 0, 0, 0, 0, 0], atol=1e-12)

@@ -88,3 +88,63 @@ def simulate_clearsky_bt(scene, f_grid, path_alt, path_dr, background="space"):
 
     I = simulate_clearsky(scene, f_grid, path_alt, path_dr, background=background)
     return inv_planck(I, f_grid)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ZeemanScene:
+    """Clear-sky scene with Zeeman-split polarized absorption.
+
+    Parity: the reference's zeeman example (examples/2-clearsky-radiative-
+    transfer/2-zeeman) — spectral_propmatAddLines with Zeeman polarization
+    + polarized rte_emission.
+    """
+
+    atm: "Atmosphere1D"
+    zcat: object  # ZeemanCatalog
+    pf: PartFunTable
+    surface_temperature: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.asarray(288.0)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("background", "block"))
+def simulate_clearsky_polarized(
+    scene: ZeemanScene,
+    f_grid,
+    path_alt,
+    path_za,
+    path_dr,
+    background: str = "space",
+    block: int = 256,
+):
+    """Polarized (full Stokes) clear-sky radiance [F, 4] at the observer.
+
+    path_za: per-point line-of-sight zenith angle (degrees) for the
+    magnetic geometry; magnetic field from scene.atm.mag.
+    """
+    from .lbl.zeeman import zeeman_propmat
+    from .rtepack.emission import emission_polarized
+    from .rtepack.propmat import inv as pm_inv, matvec
+
+    pts = scene.atm.at(path_alt)
+
+    k = jax.vmap(
+        lambda t, p, v, m, za: zeeman_propmat(
+            f_grid, scene.zcat, scene.pf, t, p, v, m, za, block=block
+        )
+    )(pts.t, pts.p, pts.vmr, pts.mag, jnp.asarray(path_za))  # [np, F, 7]
+
+    # source: J = B e1 (LTE; rtepack_source.cc:40 with S_nlte = 0)
+    B = planck(f_grid[None, :], pts.t[:, None])  # [np, F]
+    J = jnp.zeros(B.shape + (4,), B.dtype).at[..., 0].set(B)
+
+    if background == "surface":
+        I0s = planck(f_grid, scene.surface_temperature)
+    else:
+        I0s = planck(
+            f_grid, jnp.asarray(const.cosmic_microwave_background_temperature)
+        ) * jnp.ones_like(f_grid)
+    I0 = jnp.zeros(f_grid.shape + (4,), f_grid.dtype).at[..., 0].set(I0s)
+
+    return emission_polarized(k, J, jnp.asarray(path_dr), I0)

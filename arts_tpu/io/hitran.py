@@ -170,3 +170,120 @@ def read_par(
             )
         )
     return out
+
+
+def catalog_from_par(
+    path, species_list, q296=None, strength_option="S", cutoff=np.inf,
+    fmin=0.0, fmax=np.inf, n_perturbers=2,
+):
+    """Vectorized .par -> LineCatalog using the native loader when present.
+
+    Builds the struct-of-arrays catalog directly (no per-line dicts) —
+    the production ingestion path for multi-million-line catalogs.
+    """
+    import jax.numpy as jnp
+
+    from ..lbl.catalog import BATH, LineCatalog
+    from ..lbl.tmodel import NV
+
+    try:
+        from .native import read_par_arrays
+
+        arr = read_par_arrays(path)
+    except Exception:
+        # pure-python fallback through the dict path
+        from ..lbl.catalog import build_catalog
+
+        lines = read_par(
+            path, species_list, q296=q296, strength_option=strength_option,
+            cutoff=cutoff, fmin=fmin, fmax=fmax,
+        )
+        lines.sort(key=lambda r: r["f0"])
+        return build_catalog(lines, n_perturbers=n_perturbers)
+
+    f0 = arr["nu"] * _KAYCM2HZ
+    keep = (f0 >= fmin) & (f0 <= fmax)
+    # resolve isotopologues + species indices (vectorized via lookup tables)
+    spec_idx = np.full(arr["mol"].shape, -1, np.int32)
+    mass = np.zeros(arr["mol"].shape)
+    ratio = np.ones(arr["mol"].shape)
+    iso_name = np.empty(arr["mol"].shape, object)
+    for m, (tag, isos) in HITRAN_MOLECULES.items():
+        if tag not in species_list:
+            continue
+        si = species_list.index(tag)
+        for k, code in enumerate(isos):
+            sel = (arr["mol"] == m) & (arr["iso"] == k + 1)
+            meta = ISOTOPOLOGUES.get(f"{tag}-{code}")
+            if meta is None:
+                continue
+            spec_idx[sel] = si
+            mass[sel] = meta.mass
+            ratio[sel] = meta.abundance
+            iso_name[sel] = meta.name
+    keep &= spec_idx >= 0
+    idx = np.nonzero(keep)[0]
+    L = idx.size
+
+    e0 = arr["E"][idx] * const.h * _KAYCM2HZ
+    gup = arr["gup"][idx]
+    glow = arr["glow"][idx]
+    f0k = f0[idx]
+    if strength_option == "S":
+        Svals = arr["S"][idx] * _KAYCM2HZ * 1e-4
+        T0 = 296.0
+        q = np.array([q296[nm] for nm in iso_name[idx]])
+        a = (
+            -8.0 * np.pi * q * (Svals / ratio[idx])
+            / (
+                gup
+                * np.exp(-e0 / (const.k * T0))
+                * np.expm1(-(const.h * f0k) / (const.k * T0))
+                * (const.c / f0k) ** 2
+            )
+        )
+    else:
+        a = arr["A"][idx]
+
+    from ..lbl.tmodel import Law
+
+    ls_spec = np.empty((L, 2), np.int32)
+    ls_spec[:, 0] = spec_idx[idx]  # self
+    ls_spec[:, 1] = BATH
+    ls_law = np.zeros((L, 2, NV), np.int32)
+    ls_x = np.zeros((L, 2, NV, 4))
+    gair = arr["gair"][idx] * _KAYCM2HZ / _ATM
+    gself = arr["gself"][idx] * _KAYCM2HZ / _ATM
+    nair = arr["nair"][idx]
+    delta = arr["delta"][idx] * _KAYCM2HZ / _ATM
+    ls_law[:, 0, 0] = Law.T1  # self G0
+    ls_x[:, 0, 0, 0] = gself
+    ls_x[:, 0, 0, 1] = nair
+    ls_law[:, 1, 0] = Law.T1  # air G0
+    ls_x[:, 1, 0, 0] = gair
+    ls_x[:, 1, 0, 1] = nair
+    has_d = delta != 0.0
+    ls_law[:, 0, 1] = np.where(has_d, Law.T0, 0)
+    ls_x[:, 0, 1, 0] = np.where(has_d, delta, 0.0)
+    ls_law[:, 1, 1] = np.where(has_d, Law.T0, 0)
+    ls_x[:, 1, 1, 0] = np.where(has_d, delta, 0.0)
+
+    order = np.argsort(f0k)  # sorted by f0 (cutoff block-skip locality)
+    j = jnp.asarray
+    return LineCatalog(
+        f0=j(f0k[order]),
+        a=j(a[order]),
+        e0=j(e0[order]),
+        gu=j(gup[order]),
+        gl=j(glow[order]),
+        iso_mass=j(mass[idx][order]),
+        iso_ratio=j(ratio[idx][order]),
+        spec_idx=j(spec_idx[idx][order]),
+        iso_idx=j(np.zeros(L, np.int32)),
+        band_idx=j(np.zeros(L, np.int32)),
+        t0=j(np.full(L, 296.0)),
+        cutoff=j(np.full(L, cutoff)),
+        ls_spec=j(ls_spec[order]),
+        ls_law=j(ls_law[order]),
+        ls_x=j(ls_x[order]),
+    )

@@ -57,22 +57,36 @@ def lineshape_params(cat: LineCatalog, T, P, vmr):
     return num / denom[:, None]
 
 
-def line_strengths(cat: LineCatalog, pf: PartFunTable, T, vmr, ls):
-    """Complex per-line strength and shifted center.
+def line_strengths(cat: LineCatalog, pf: PartFunTable, T, P, vmr, ls):
+    """Complex per-line strength (with the number-density and c^2/8pi/f0^3
+    prefactors folded in) and shifted center.
 
-    Returns (s [L] complex, f0s [L], inv_gd [L], z_imag [L]).
+    Returns (s [L] complex, f0s [L], inv_gd [L], z_imag [L]).  The factor
+    grouping is deliberate: the reference computes s_lte ~ 1e-42 and a
+    separate scl ~ 1e+50 prefactor (lbl_lineshape_voigt_lte.cpp:936) which
+    over/underflow float32; here every intermediate stays in f32 range so
+    the same code runs in reduced precision on the TPU.  The remaining
+    frequency factor is -f * expm1(-h f / k T) (applied by the caller).
     """
     Q = pf.Q(T, cat.iso_idx)
-    s_lte = cat.a * cat.gu * jnp.exp(-cat.e0 / (const.k * T)) / (cat.f0**3 * Q)
+    inv_f0 = 1.0 / cat.f0
+    g_line = cat.a * cat.gu * jnp.exp(-cat.e0 / (const.k * T)) / Q  # ~1e-8
 
     f0s = cat.f0 + ls[:, ID0] + ls[:, IDV]  # pressure-shifted center
     gd_part = jnp.sqrt(const.doppler_broadening_const_squared * T / cat.iso_mass)
     inv_gd = 1.0 / (gd_part * f0s)
     z_imag = ls[:, IG0] * inv_gd
 
+    N = P / (const.k * T)  # number density (physics_funcs.h:54)
+    pref = (
+        (N * inv_f0)
+        * ((const.c**2 / (8.0 * jnp.pi)) * inv_f0)
+        * inv_f0
+    )  # ~1e7, f32-safe grouping
+
     lm = (1.0 + ls[:, IG]) - 1j * ls[:, IY]  # line mixing factor
     x = vmr[cat.spec_idx]
-    s = const.inv_sqrt_pi * inv_gd * cat.iso_ratio * x * lm * s_lte
+    s = (const.inv_sqrt_pi * inv_gd * cat.iso_ratio * x) * lm * (g_line * pref)
     return s, f0s, inv_gd, z_imag
 
 
@@ -130,16 +144,12 @@ def absorption(
     calculate).  Returns [F] (the A-component of the propagation matrix).
     """
     ls = lineshape_params(cat, T, P, vmr)
-    s, f0s, inv_gd, z_imag = line_strengths(cat, pf, T, vmr, ls)
+    s, f0s, inv_gd, z_imag = line_strengths(cat, pf, T, P, vmr, ls)
     shape = _shape_sum(f_grid, s, f0s, inv_gd, z_imag, cat.cutoff, block)
 
-    N = P / (const.k * T)  # number density (physics_funcs.h:54)
-    scl = (
-        -N
-        * f_grid
-        * jnp.expm1(-(const.h * f_grid) / (const.k * T))
-        * (const.c**2 / (8.0 * jnp.pi))
-    )
+    # stimulated-emission frequency factor (the N, c^2/8pi, 1/f0^3 parts
+    # are folded into the line strengths for f32 safety)
+    scl = -f_grid * jnp.expm1(-(const.h * f_grid) / (const.k * T))
     alpha = scl * jnp.real(shape)
     if no_negative_absorption:
         alpha = jnp.maximum(alpha, 0.0)
@@ -167,7 +177,7 @@ def absorption_pallas(
     from ..ops.voigt_kernel import voigt_sum
 
     ls = lineshape_params(cat, T, P, vmr)
-    s, f0s, inv_gd, z_imag = line_strengths(cat, pf, T, vmr, ls)
+    s, f0s, inv_gd, z_imag = line_strengths(cat, pf, T, P, vmr, ls)
 
     has_cut = jnp.isfinite(cat.cutoff)
     cut_safe = jnp.where(has_cut, cat.cutoff, 0.0)
@@ -191,13 +201,7 @@ def absorption_pallas(
         n=wofz_n,
     )
 
-    N = P / (const.k * T)
-    scl = (
-        -N
-        * f_grid
-        * jnp.expm1(-(const.h * f_grid) / (const.k * T))
-        * (const.c**2 / (8.0 * jnp.pi))
-    )
+    scl = -f_grid * jnp.expm1(-(const.h * f_grid) / (const.k * T))
     alpha = scl * shape_re
     if no_negative_absorption:
         alpha = jnp.maximum(alpha, 0.0)

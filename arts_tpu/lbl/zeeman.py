@@ -191,17 +191,11 @@ def zeeman_propmat(
     """
     cat = zcat.cat
     ls = lineshape_params(cat, T, P, vmr)
-    s, f0s, inv_gd, z_imag = line_strengths(cat, pf, T, vmr, ls)
+    s, f0s, inv_gd, z_imag = line_strengths(cat, pf, T, P, vmr, ls)
     H, theta, eta = magnetic_angles(mag, los_za_deg, los_aa_deg)
     npm = pol_matrices(theta, eta)
 
-    N = P / (const.k * T)
-    scl = (
-        -N
-        * f_grid
-        * jnp.expm1(-(const.h * f_grid) / (const.k * T))
-        * (const.c**2 / (8.0 * jnp.pi))
-    )
+    scl = -f_grid * jnp.expm1(-(const.h * f_grid) / (const.k * T))
 
     pm = jnp.zeros(f_grid.shape + (7,), dtype=f_grid.dtype)
     for p_i, pol in enumerate(POLS):

@@ -56,7 +56,6 @@ def expm(k, r):
     u = -r * k[..., U]
     v = -r * k[..., V]
     w = -r * k[..., W]
-    exp_a = jnp.exp(a)
 
     b2, c2, d2 = b * b, c * c, d * d
     u2, v2, w2 = u * u, v * v, w * w
@@ -80,21 +79,10 @@ def expm(k, r):
     x2 = jnp.maximum(0.5 * (S - Bq), 0.0)
     y2 = jnp.maximum(0.5 * (S + Bq), 0.0)
 
-    def cosh_sqrt(t):
-        ts = t < 1e-8
-        series = 1.0 + t / 2.0 * (1.0 + t / 12.0)
-        return jnp.where(ts, series, jnp.cosh(jnp.sqrt(jnp.where(ts, 1.0, t))))
-
     def cos_sqrt(t):
         ts = t < 1e-8
         series = 1.0 - t / 2.0 * (1.0 - t / 12.0)
         return jnp.where(ts, series, jnp.cos(jnp.sqrt(jnp.where(ts, 1.0, t))))
-
-    def sinhc_sqrt(t):  # sinh(sqrt t)/sqrt t
-        ts = t < 1e-8
-        series = 1.0 + t / 6.0 * (1.0 + t / 20.0)
-        st = jnp.sqrt(jnp.where(ts, 1.0, t))
-        return jnp.where(ts, series, jnp.sinh(st) / st)
 
     def sinc_sqrt(t):  # sin(sqrt t)/sqrt t
         ts = t < 1e-8
@@ -102,17 +90,32 @@ def expm(k, r):
         st = jnp.sqrt(jnp.where(ts, 1.0, t))
         return jnp.where(ts, series, jnp.sin(st) / st)
 
-    cx = cosh_sqrt(x2)
-    cy = cos_sqrt(y2)
-    shx = sinhc_sqrt(x2)
-    sny = sinc_sqrt(y2)
+    # Fold exp(a) into the coefficients: for passive media a + x <= 0, so
+    # exp(a)*cosh(x) computed as exp(a+x)(1+e^{-2x})/2 never overflows —
+    # the reference instead *drops polarization* on overflow
+    # (rtepack_transmission.cc:117 fallback); we stay exact.
+    x = jnp.sqrt(x2)
+    ea = jnp.exp(a)
+    eax = jnp.exp(a + x)
+    em2x = jnp.exp(-2.0 * x)
+    e_cx = eax * 0.5 * (1.0 + em2x)  # e^a cosh x
+    xs_small = x2 < 1e-8
+    e_shx = jnp.where(  # e^a sinh(x)/x
+        xs_small,
+        ea * (1.0 + x2 / 6.0 * (1.0 + x2 / 20.0)),
+        eax * 0.5 * (1.0 - em2x) / jnp.where(xs_small, 1.0, x),
+    )
+    e_cy = ea * cos_sqrt(y2)
+    e_sny = ea * sinc_sqrt(y2)
 
     inv_s = 1.0 / jnp.where(degen, 1.0, x2 + y2)
     # Taylor heads in the degenerate limit: x2*y2 = -Cq, x2-y2 = -Bq
-    C0 = jnp.where(degen, 1.0 - Cq / 24.0, (cy * x2 + cx * y2) * inv_s)
-    C1 = jnp.where(degen, 1.0 - Cq / 120.0, (sny * x2 + shx * y2) * inv_s)
-    C2 = jnp.where(degen, 0.5 - Bq / 24.0, (cx - cy) * inv_s)
-    C3 = jnp.where(degen, 1.0 / 6.0 - Bq / 120.0, (shx - sny) * inv_s)
+    C0 = jnp.where(degen, ea * (1.0 - Cq / 24.0), (e_cy * x2 + e_cx * y2) * inv_s)
+    C1 = jnp.where(degen, ea * (1.0 - Cq / 120.0), (e_sny * x2 + e_shx * y2) * inv_s)
+    C2 = jnp.where(degen, ea * (0.5 - Bq / 24.0), (e_cx - e_cy) * inv_s)
+    C3 = jnp.where(
+        degen, ea * (1.0 / 6.0 - Bq / 120.0), (e_shx - e_sny) * inv_s
+    )
 
     C2b = C2 * (c * u + d * v)
     C2c = C2 * (b * u - d * w)
@@ -139,8 +142,7 @@ def expm(k, r):
         [C1 * c - C2c + C3c, -C1 * u + C2u - C3u, M22, C1 * w + C2w + C3w],
         [C1 * d - C2d + C3d, -C1 * v + C2v - C3v, -C1 * w + C2w - C3w, M33],
     ]
-    m = jnp.stack([jnp.stack(rr, axis=-1) for rr in rows], axis=-2)
-    return exp_a[..., None, None] * m
+    return jnp.stack([jnp.stack(rr, axis=-1) for rr in rows], axis=-2)
 
 
 def inv(k):

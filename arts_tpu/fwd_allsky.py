@@ -87,7 +87,8 @@ def _scatterer_profiles(sc, f_grid, z, t, nleg):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nquad", "nleg", "nfourier", "mu0", "phis", "block")
+    jax.jit,
+    static_argnames=("nquad", "nleg", "nfourier", "mu0", "phis", "block", "backend"),
 )
 def simulate_allsky(
     scene: AllskyScene,
@@ -99,6 +100,7 @@ def simulate_allsky(
     fbeam=0.0,
     phis: tuple = (),
     block: int = 256,
+    backend: str = "xla",
 ):
     """DISORT radiance/flux field for a vertical profile of scene.atm.
 
@@ -116,7 +118,12 @@ def simulate_allsky(
     def gas_abs(t, p, v):
         a = jnp.zeros_like(f_grid)
         if scene.cat is not None and scene.cat.n_lines > 0:
-            a = a + absorption(f_grid, scene.cat, scene.pf, t, p, v, block=block)
+            if backend == "pallas":
+                from .lbl.voigt import absorption_pallas
+
+                a = a + absorption_pallas(f_grid, scene.cat, scene.pf, t, p, v)
+            else:
+                a = a + absorption(f_grid, scene.cat, scene.pf, t, p, v, block=block)
         if scene.predef:
             from .predefined import predefined_absorption
 

@@ -1,0 +1,78 @@
+"""Auxiliary subsystem tests: xsec-fit absorption, MT_CKD400 evaluation
+machinery (synthetic data), profiler report, sweep checkpointing."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import arts_tpu.constants as const
+from arts_tpu.lbl.xsec_fit import XsecFitDataset, xsec_fit_absorption
+from arts_tpu.predefined.mt_ckd400 import (
+    MTCKD400Data,
+    h2o_foreign_mtckd400,
+    h2o_self_mtckd400,
+)
+from arts_tpu.utils.checkpoint import SweepCheckpointer
+from arts_tpu.utils.profiling import clear_report, get_report, scope
+
+
+def test_xsec_fit():
+    g = jnp.linspace(1e13, 2e13, 11)
+    coeffs = jnp.zeros((11, 4)).at[:, 0].set(1e-24).at[:, 1].set(1e-27)
+    ds = XsecFitDataset(f_grid=g, coeffs=coeffs, spec_idx=0)
+    f = jnp.asarray([1.5e13, 5e13])
+    T, P = 250.0, 1e4
+    a = np.asarray(ds.absorption(f, T, P, jnp.asarray([1e-6])))
+    n = P / (const.k * T) * 1e-6
+    np.testing.assert_allclose(a[0], (1e-24 + 1e-27 * T) * n, rtol=1e-10)
+    assert a[1] == 0.0
+    tot = xsec_fit_absorption([ds, ds], f, T, P, jnp.asarray([1e-6]))
+    np.testing.assert_allclose(np.asarray(tot), 2 * a, rtol=1e-12)
+
+
+def test_mt_ckd400_machinery():
+    # synthetic flat tables: check scaling structure and range masking
+    wn = jnp.linspace(0.0, 2000.0, 201)  # cm-1
+    data = MTCKD400Data(
+        wavenumbers=wn,
+        self_absco_ref=jnp.full((201,), 1e-22),
+        for_absco_ref=jnp.full((201,), 2e-23),
+        self_texp=jnp.full((201,), 6.0),
+        ref_press=jnp.asarray(1013.0),
+        ref_temp=jnp.asarray(296.0),
+    )
+    f = jnp.asarray([500.0 * 100 * const.c, 3000.0 * 100 * const.c])
+    T, P, vh2o = 280.0, 9e4, 0.01
+    a_self = np.asarray(h2o_self_mtckd400(f, T, P, {"H2O": vh2o}, data))
+    a_for = np.asarray(h2o_foreign_mtckd400(f, T, P, {"H2O": vh2o}, data))
+    assert a_self[0] > 0 and a_for[0] > 0
+    assert a_self[1] == 0.0 and a_for[1] == 0.0  # outside table
+    # self scales ~ vmr^2, foreign ~ vmr (1-vmr)
+    a_self2 = np.asarray(h2o_self_mtckd400(f, T, P, {"H2O": 2 * vh2o}, data))
+    np.testing.assert_allclose(a_self2[0] / a_self[0], 4.0, rtol=1e-2)
+    a_for2 = np.asarray(h2o_foreign_mtckd400(f, T, P, {"H2O": 2 * vh2o}, data))
+    np.testing.assert_allclose(
+        a_for2[0] / a_for[0], 2 * (1 - 2 * vh2o) / (1 - vh2o), rtol=1e-2
+    )
+
+
+def test_profiler_report():
+    clear_report()
+    with scope("unit-test-scope"):
+        x = jnp.ones(10).sum()
+        x.block_until_ready()
+    rep = get_report()
+    assert "unit-test-scope" in rep
+    n, tot, mean = rep["unit-test-scope"]
+    assert n == 1 and tot > 0
+
+
+def test_sweep_checkpoint_roundtrip(tmp_path):
+    ck = SweepCheckpointer(tmp_path)
+    state = {"x": jnp.arange(5.0), "meta": jnp.asarray(3)}
+    ck.save(7, state)
+    assert ck.latest_step() == 7
+    back = ck.restore(7, state)
+    np.testing.assert_allclose(np.asarray(back["x"]), np.arange(5.0))
+    assert int(back["meta"]) == 3

@@ -1,0 +1,70 @@
+"""Recipes, solar source, and surface field tests."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+import arts_tpu.constants as const
+from arts_tpu.atm.surface import SurfaceField
+from arts_tpu.recipe import AtmosphericFlux, SingleSpeciesAbsorption
+from arts_tpu.sun import AU, SUN_RADIUS, solar_geometry, sun_blackbody
+from tests.test_allsky import allsky_scene
+from tests.test_clearsky import F_GRID, SCENE
+
+
+def test_sun_blackbody_flux():
+    f = jnp.asarray([5e14])  # visible
+    sun = sun_blackbody(f)
+    fbeam = float(sun.toa_flux()[0])
+    # total solar constant check: integrate Planck * pi * (R/d)^2 over f
+    # ~ 1361 W/m2; spot check the spectral value is positive and sane
+    assert 0 < fbeam < 1e-6
+    # solid-angle scaling
+    sun2 = sun_blackbody(f, distance=2 * AU)
+    np.testing.assert_allclose(float(sun2.toa_flux()[0]), fbeam / 4, rtol=1e-12)
+    mu0, phi0 = solar_geometry(60.0, 120.0)
+    np.testing.assert_allclose(mu0, 0.5, rtol=1e-12)
+
+
+def test_solar_constant():
+    f = jnp.asarray(np.linspace(1e12, 3e15, 4000))
+    sun = sun_blackbody(f)
+    s0 = float(jnp.trapezoid(sun.toa_flux(), f))
+    assert 1300 < s0 < 1420  # solar constant ballpark
+
+
+def test_atmospheric_flux_recipe():
+    recipe = AtmosphericFlux(scene=allsky_scene(), nquad=8)
+    f = jnp.asarray(np.asarray(F_GRID)[::20])
+    out = recipe(f)
+    up, down = np.asarray(out["up"]), np.asarray(out["down"])
+    assert up.shape == down.shape == (SCENE.atm.z.shape[0],)
+    assert np.all(up > 0)
+    # at the surface, upwelling flux ~ pi * B_band(T_surf) (blackbody)
+    from arts_tpu.ops.planck import planck
+
+    bsurf = np.asarray(planck(f, 288.0))
+    expect = np.pi * np.trapezoid(bsurf, np.asarray(f))
+    np.testing.assert_allclose(up[-1], expect, rtol=1e-6)
+
+
+def test_single_species_absorption_recipe():
+    r = SingleSpeciesAbsorption(cat=SCENE.cat, pf=SCENE.pf)
+    a = np.asarray(r(np.asarray(F_GRID)[::50], 250.0, 5e4, [0.005, 0.995]))
+    assert np.all(np.isfinite(a)) and a.max() > 0
+
+
+def test_surface_field():
+    sf = SurfaceField.constant(temperature=290.0, emissivity=0.95)
+    p = sf.at(45.0, 10.0)
+    np.testing.assert_allclose(float(p["temperature"]), 290.0)
+    # gridded
+    lat = jnp.asarray([0.0, 10.0])
+    lon = jnp.asarray([0.0, 20.0])
+    t = jnp.asarray([[280.0, 282.0], [290.0, 292.0]])
+    sf2 = SurfaceField(
+        lat=lat, lon=lon, temperature=t, elevation=jnp.zeros((2, 2)),
+        emissivity=jnp.ones((2, 2)),
+    )
+    p2 = sf2.at(5.0, 10.0)
+    np.testing.assert_allclose(float(p2["temperature"]), 286.0, rtol=1e-12)

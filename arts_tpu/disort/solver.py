@@ -39,6 +39,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.eigh_jacobi import eigh_jacobi
+from ..ops.smallalg import cholesky_unrolled, solve_unrolled
 from .quadrature import double_gauss, lambda_at, lambda_tables
 
 
@@ -75,7 +77,7 @@ class DisortOutput:
     u: Optional[jax.Array] = None  # [L+1, NQuad, nphi]
 
 
-def _eigen(Pp, Pm, omega, mu, w):
+def _eigen(Pp, Pm, omega, mu, w, fast_linalg=False):
     """Homogeneous solutions per (mode, layer): k [M,L,N], Gp/Gm [M,L,N,N]."""
     c = 0.5 * omega  # [L]
     inv_w = 1.0 / w
@@ -89,9 +91,12 @@ def _eigen(Pp, Pm, omega, mu, w):
     H1 = F[:, None] * S1 * F[None, :]
     H2 = F[:, None] * S2 * F[None, :]
 
-    Lc = jnp.linalg.cholesky(-H1)  # -H1 SPD for omega < 1
+    if fast_linalg:
+        Lc = cholesky_unrolled(-H1)  # -H1 SPD for omega < 1
+    else:
+        Lc = jnp.linalg.cholesky(-H1)
     Hsym = -jnp.einsum("...ji,...jk,...kl->...il", Lc, H2, Lc)
-    k2, V = jnp.linalg.eigh(Hsym)
+    k2, V = eigh_jacobi(Hsym) if fast_linalg else jnp.linalg.eigh(Hsym)
     k = jnp.sqrt(jnp.maximum(k2, 1e-24))
 
     E = jnp.sqrt(w * mu)
@@ -104,7 +109,7 @@ def _eigen(Pp, Pm, omega, mu, w):
     return k, Gp, Gm
 
 
-def _solve_block_tridiag(Adn, Adiag, Aup, rhs):
+def _solve_block_tridiag(Adn, Adiag, Aup, rhs, fast_linalg=False):
     """Thomas elimination for Adn[l] X[l-1] + Adiag[l] X[l] + Aup[l] X[l+1] = rhs[l].
 
     Leading axis is the block index; trailing [..., B, B] / [..., B].
@@ -116,8 +121,14 @@ def _solve_block_tridiag(Adn, Adiag, Aup, rhs):
         dn, dg, up, r = inp
         Mod = dg - jnp.einsum("...ij,...jk->...ik", dn, Cprev)
         rmod = r - jnp.einsum("...ij,...j->...i", dn, dprev)
-        Cn = jnp.linalg.solve(Mod, up)
-        dnew = jnp.linalg.solve(Mod, rmod[..., None])[..., 0]
+        stacked = jnp.concatenate([up, rmod[..., None]], -1)
+        CnD = (
+            solve_unrolled(Mod, stacked)
+            if fast_linalg
+            else jnp.linalg.solve(Mod, stacked)
+        )
+        Cn = CnD[..., :-1]
+        dnew = CnD[..., -1]
         return (Cn, dnew), (Cn, dnew)
 
     B = Adiag.shape[-1]
@@ -137,7 +148,9 @@ def _solve_block_tridiag(Adn, Adiag, Aup, rhs):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("nquad", "nleg", "nfourier", "mu0", "phi0", "phis"),
+    static_argnames=(
+        "nquad", "nleg", "nfourier", "mu0", "phi0", "phis", "fast_linalg"
+    ),
 )
 def disort(
     inp: DisortInput,
@@ -147,6 +160,7 @@ def disort(
     mu0: float = 0.0,
     phi0: float = 0.0,
     phis: tuple = (),
+    fast_linalg: bool = False,
 ) -> DisortOutput:
     """Solve one plane-parallel RT problem (vmap over frequency outside).
 
@@ -191,7 +205,7 @@ def disort(
     # ---- phase matrices and eigenstructure per (mode, layer) ----
     Pp = jnp.einsum("lk,mki,mkj->mlij", leg_scaled, lam, lam)
     Pm = jnp.einsum("lk,mk,mki,mkj->mlij", leg_scaled, sign, lam, lam)
-    k, Gp, Gm = _eigen(Pp, Pm, omega_p, mu, w)
+    k, Gp, Gm = _eigen(Pp, Pm, omega_p, mu, w, fast_linalg)
     Ek = jnp.exp(-k * dtau_p[None, :, None])  # [M,L,N]
 
     c = 0.5 * omega_p
@@ -211,7 +225,11 @@ def disort(
             (qp - qm) / mu
         ) / mu0
         Asys = Amat - I_N / (mu0 * mu0)
-        s = jnp.linalg.solve(Asys, rhs_s[..., None])[..., 0]
+        s = (
+            solve_unrolled(Asys, rhs_s)
+            if fast_linalg
+            else jnp.linalg.solve(Asys, rhs_s[..., None])[..., 0]
+        )
         d = -mu0 * (jnp.einsum("...ij,...j->...i", AmB, s) - (qp + qm) / mu)
         zp = 0.5 * (s + d)
         zm = 0.5 * (s - d)
@@ -239,9 +257,14 @@ def disort(
     e_over_mu = jnp.ones((N,), dtype) / mu
     g1 = (srcf * b1)[:, None] * e_over_mu
     g0v = (srcf * b0)[:, None] * e_over_mu
-    q1 = jnp.linalg.solve(AmB[0], g1[..., None])[..., 0]
-    p_minus_r = 2.0 * jnp.linalg.solve(ApB[0], q1[..., None])[..., 0]
-    p_plus_r = 2.0 * jnp.linalg.solve(AmB[0], g0v[..., None])[..., 0]
+    _slv = (
+        solve_unrolled
+        if fast_linalg
+        else (lambda A, b: jnp.linalg.solve(A, b[..., None])[..., 0])
+    )
+    q1 = _slv(AmB[0], g1)
+    p_minus_r = 2.0 * _slv(ApB[0], q1)
+    p_plus_r = 2.0 * _slv(AmB[0], g0v)
     p0 = 0.5 * (p_plus_r + p_minus_r)
     r0 = 0.5 * (p_plus_r - p_minus_r)
 
@@ -339,6 +362,7 @@ def disort(
         jnp.moveaxis(Adiag, 1, 0),
         jnp.moveaxis(Aup, 1, 0),
         jnp.moveaxis(rhs, 1, 0),
+        fast_linalg,
     )  # [L, M, 2N]
     Cp = jnp.moveaxis(X[..., :N], 0, 1)  # [M, L, N]
     Cm = jnp.moveaxis(X[..., N:], 0, 1)

@@ -53,18 +53,40 @@ def simulate_clearsky(
     path_dr,
     background: str = "space",
     block: int = 256,
+    path_za=None,
+    path_aa=None,
 ):
     """Clear-sky spectral radiance [W/(m^2 Hz sr)] seen by the observer.
 
     path_alt: [np] altitudes ordered observer -> background end;
     path_dr: [np-1] layer lengths. background: "space" | "surface".
     Zero-length segments are exact no-ops, so batched paths may be padded.
+    path_za/path_aa: per-point LOS angles [deg]; with scene.atm.wind set,
+    absorption is evaluated on the per-point Doppler-shifted grid
+    (parity: freq_grid_pathFromPath, src/m_frequency_grid.cc).
     """
     pts = scene.atm.at(path_alt)  # batched over path points
 
+    if scene.atm.wind is not None and path_za is not None:
+        za = jnp.deg2rad(jnp.asarray(path_za))
+        aa = jnp.deg2rad(
+            jnp.zeros_like(za) if path_aa is None else jnp.asarray(path_aa)
+        )
+        # propagation direction (x=E, y=N, z=Up); v_los = wind . k
+        khat = jnp.stack(
+            [jnp.sin(za) * jnp.sin(aa), jnp.sin(za) * jnp.cos(aa), jnp.cos(za)],
+            axis=-1,
+        )
+        v_los = jnp.sum(pts.wind * khat, axis=-1)  # [np]
+        dshift = 1.0 - v_los / const.c
+    else:
+        dshift = jnp.ones(path_alt.shape, f_grid.dtype)
+
     k = jax.vmap(
-        lambda t, p, v: absorption(f_grid, scene.cat, scene.pf, t, p, v, block=block)
-    )(pts.t, pts.p, pts.vmr)  # [np, F]
+        lambda t, p, v, d: absorption(
+            f_grid * d, scene.cat, scene.pf, t, p, v, block=block
+        )
+    )(pts.t, pts.p, pts.vmr, dshift)  # [np, F]
 
     J = planck(f_grid[None, :], pts.t[:, None])  # [np, F]
 

@@ -88,7 +88,10 @@ def _scatterer_profiles(sc, f_grid, z, t, nleg):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("nquad", "nleg", "nfourier", "mu0", "phis", "block", "backend"),
+    static_argnames=(
+        "nquad", "nleg", "nfourier", "mu0", "phis", "block", "backend",
+        "fast_linalg",
+    ),
 )
 def simulate_allsky(
     scene: AllskyScene,
@@ -101,6 +104,7 @@ def simulate_allsky(
     phis: tuple = (),
     block: int = 256,
     backend: str = "xla",
+    fast_linalg: bool = False,
 ):
     """DISORT radiance/flux field for a vertical profile of scene.atm.
 
@@ -177,7 +181,8 @@ def simulate_allsky(
     )
     run = jax.vmap(
         lambda i: disort(
-            i, nquad=nquad, nleg=nleg, nfourier=nfourier, mu0=mu0, phis=phis
+            i, nquad=nquad, nleg=nleg, nfourier=nfourier, mu0=mu0, phis=phis,
+            fast_linalg=fast_linalg,
         )
     )
     return run(inp)

@@ -67,7 +67,8 @@ def main():
 
     def run():
         out = simulate_allsky(
-            scene, f_grid, nquad=16, nfourier=1, backend=backend
+            scene, f_grid, nquad=16, nfourier=1, backend=backend,
+            fast_linalg=True,
         )
         return out.flux_up
 

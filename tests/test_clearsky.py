@@ -202,3 +202,26 @@ def test_path_geometry():
     ps = geometric_path_1d(100e3, 135.0, 0.0, 80e3, 1000.0)
     assert ps.background == "surface"
     assert ps.s[-1] > 80e3 * np.sqrt(2) * 0.98
+
+
+def test_wind_doppler_shift():
+    """Wind along the LOS Doppler-shifts absorption (freq_grid_pathFromPath
+    parity): 300 m/s along an uplooking LOS produces an O(v/c) spectral
+    perturbation in the line wings (the core is saturated)."""
+    import dataclasses as dc
+
+    wind = jnp.stack(
+        [jnp.zeros_like(SCENE.atm.z), jnp.zeros_like(SCENE.atm.z),
+         jnp.full_like(SCENE.atm.z, 300.0)]
+    )
+    scene_w = dc.replace(SCENE, atm=dc.replace(SCENE.atm, wind=wind))
+    pup = geometric_path_1d(0.0, 0.0, 0.0, 80e3, 2000.0)
+    alt, dr = jnp.asarray(pup.alt), jnp.asarray(pup.dr)
+    za = jnp.asarray(pup.za)
+    f = jnp.linspace(183.31e9 - 2e10, 183.31e9 + 2e10, 401)
+    I0 = np.asarray(simulate_clearsky(scene_w, f, alt, dr, background="space"))
+    I1 = np.asarray(
+        simulate_clearsky(scene_w, f, alt, dr, background="space", path_za=za)
+    )
+    rel = np.abs(I1 - I0).max() / I0.max()
+    assert 1e-7 < rel < 1e-4  # O(v/c * dlnI/dlnf)

@@ -1,0 +1,86 @@
+"""Geodesy, 3D fields, subsurface, geomagnetic-field tests."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from arts_tpu.atm.field3d import Atmosphere3D
+from arts_tpu.atm.igrf import dipole_field, magnetic_profile
+from arts_tpu.atm.subsurface import SubsurfaceField
+from arts_tpu.ops.planck import planck
+from arts_tpu.path.geodesy import (
+    ecef2geodetic,
+    ecef2los,
+    geodetic2ecef,
+    los2ecef,
+)
+
+
+def test_geodetic_roundtrip():
+    lat = np.array([0.0, 45.0, -60.0, 89.0])
+    lon = np.array([0.0, 90.0, -120.0, 179.0])
+    alt = np.array([0.0, 1e3, 100e3, 500.0])
+    xyz = geodetic2ecef(lat, lon, alt)
+    la2, lo2, al2 = ecef2geodetic(xyz)
+    np.testing.assert_allclose(la2, lat, atol=1e-9)
+    np.testing.assert_allclose(lo2, lon, atol=1e-9)
+    np.testing.assert_allclose(al2, alt, atol=1e-4)
+
+
+def test_los_roundtrip():
+    za, aa = 70.0, 120.0
+    d = los2ecef(30.0, 40.0, za, aa)
+    np.testing.assert_allclose(np.linalg.norm(d), 1.0, rtol=1e-12)
+    pos = geodetic2ecef(30.0, 40.0, 100e3)
+    za2, aa2 = ecef2los(pos, d)
+    np.testing.assert_allclose([za2, aa2], [za, aa], atol=1e-6)
+
+
+def test_atmosphere3d_interp():
+    z = jnp.linspace(0.0, 10e3, 6)
+    lat = jnp.asarray([-10.0, 10.0])
+    lon = jnp.asarray([0.0, 20.0])
+    t = (
+        280.0
+        - z[:, None, None] * 5e-3
+        + lat[None, :, None] * 0.5
+        + lon[None, None, :] * 0.1
+    )
+    p = 1e5 * jnp.exp(-z / 8e3)[:, None, None] * jnp.ones((6, 2, 2))
+    vmr = jnp.full((1, 6, 2, 2), 0.01)
+    atm = Atmosphere3D(z=z, lat=lat, lon=lon, t=t, p=p, vmr=vmr)
+    pt = atm.at(jnp.asarray(5e3), jnp.asarray(0.0), jnp.asarray(10.0))
+    np.testing.assert_allclose(
+        float(pt.t), 280.0 - 5e3 * 5e-3 + 0.0 + 1.0, rtol=1e-12
+    )
+    np.testing.assert_allclose(float(pt.p), 1e5 * np.exp(-5e3 / 8e3), rtol=1e-10)
+    # degenerate lat/lon = constant-field behavior
+    atm1 = Atmosphere3D(
+        z=z, lat=jnp.zeros((1,)), lon=jnp.zeros((1,)),
+        t=t[:, :1, :1], p=p[:, :1, :1], vmr=vmr[:, :, :1, :1],
+    )
+    pt1 = atm1.at(jnp.asarray(5e3), jnp.asarray(45.0), jnp.asarray(123.0))
+    np.testing.assert_allclose(float(pt1.t), float(t[2, 0, 0] + t[3, 0, 0]) / 2)
+
+
+def test_subsurface_emission():
+    depth = jnp.linspace(0.0, 5.0, 21)
+    t = jnp.full((21,), 275.0)
+    sub = SubsurfaceField(depth=depth, t=t, absorption=jnp.full((21,), 10.0))
+    f = jnp.asarray([10e9, 100e9])
+    I = sub.emerging_radiance(f)
+    # isothermal opaque medium: emerging radiance = Planck(T)
+    np.testing.assert_allclose(
+        np.asarray(I), np.asarray(planck(f, 275.0)), rtol=1e-10
+    )
+
+
+def test_dipole_field():
+    B = dipole_field(np.array([80.0, 0.0]), np.array([0.0, 0.0]), np.zeros(2))
+    mag = np.linalg.norm(B, axis=-1)
+    # polar field ~ 5-6e-5 T, equatorial ~ 2.5-3.5e-5 T
+    assert 4e-5 < mag[0] < 7e-5
+    assert 2e-5 < mag[1] < 4e-5
+    prof = magnetic_profile(np.linspace(0, 80e3, 5), lat_deg=45.0)
+    assert prof.shape == (3, 5)
+    assert np.all(np.isfinite(prof))

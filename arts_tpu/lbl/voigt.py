@@ -90,19 +90,31 @@ def line_strengths(cat: LineCatalog, pf: PartFunTable, T, P, vmr, ls):
     return s, f0s, inv_gd, z_imag
 
 
-def _shape_sum(f_grid, s, f0s, inv_gd, z_imag, cutoff, block: int):
-    """sum_l s_l * [w(z_l(f)) - w(z_l(f0+cut))] masked to |f-f0|<=cut. [F] complex."""
+def _shape_sum(
+    f_grid, s, f0s, inv_gd, z_imag, cutoff, block: int, mirrored: bool = False
+):
+    """sum_l s_l * [F_l(f) - F_l(f0+cut)] masked to |f-f0|<=cut. [F] complex.
+
+    F = w(z) for the plain Voigt; with ``mirrored`` the reference's
+    VP_LTE_MIRROR shape F = w(z) + w(zm), zm = inv_gd (f + f0) + i zi
+    (lbl_lineshape_voigt_lte_mirrored.h:44)."""
 
     def blocksum(args):
         s_b, f0_b, ig_b, zi_b, cut_b = args
         z = ig_b[:, None] * (f_grid[None, :] - f0_b[:, None]) + 1j * zi_b[:, None]
         w = wofz(z)
+        if mirrored:
+            zm = ig_b[:, None] * (f_grid[None, :] + f0_b[:, None]) + 1j * zi_b[:, None]
+            w = w + wofz(zm)
         has_cut = jnp.isfinite(cut_b)
         # sanitize inf cutoffs BEFORE the multiply: 0*inf inside a discarded
         # where-branch still NaNs the product's cotangent in reverse mode
         cut_safe = jnp.where(has_cut, cut_b, 0.0)
         zcut = ig_b * cut_safe + 1j * zi_b
-        wcut = jnp.where(has_cut[:, None], wofz(zcut)[:, None], 0.0)
+        wc = wofz(zcut)
+        if mirrored:
+            wc = wc + wofz(ig_b * (2.0 * f0_b + cut_safe) + 1j * zi_b)
+        wcut = jnp.where(has_cut[:, None], wc[:, None], 0.0)
         inside = jnp.abs(f_grid[None, :] - f0_b[:, None]) <= cut_b[:, None]
         contrib = jnp.where(inside, s_b[:, None] * (w - wcut), 0.0)
         return jnp.sum(contrib, axis=0)
@@ -126,7 +138,9 @@ def _shape_sum(f_grid, s, f0s, inv_gd, z_imag, cutoff, block: int):
     return jnp.sum(partial, axis=0)
 
 
-@functools.partial(jax.jit, static_argnames=("no_negative_absorption", "block"))
+@functools.partial(
+    jax.jit, static_argnames=("no_negative_absorption", "block", "mirrored")
+)
 def absorption(
     f_grid,
     cat: LineCatalog,
@@ -136,6 +150,7 @@ def absorption(
     vmr,
     no_negative_absorption: bool = True,
     block: int = 256,
+    mirrored: bool = False,
 ):
     """LBL absorption coefficient [1/m] on f_grid at one atmospheric point.
 
@@ -145,7 +160,7 @@ def absorption(
     """
     ls = lineshape_params(cat, T, P, vmr)
     s, f0s, inv_gd, z_imag = line_strengths(cat, pf, T, P, vmr, ls)
-    shape = _shape_sum(f_grid, s, f0s, inv_gd, z_imag, cat.cutoff, block)
+    shape = _shape_sum(f_grid, s, f0s, inv_gd, z_imag, cat.cutoff, block, mirrored)
 
     # stimulated-emission frequency factor (the N, c^2/8pi, 1/f0^3 parts
     # are folded into the line strengths for f32 safety)

@@ -184,3 +184,19 @@ def test_jacobian_vs_finite_difference():
         2 * hv
     )
     np.testing.assert_allclose(np.asarray(jv[:, 0]), fd0, rtol=2e-5, atol=1e-22)
+
+
+def test_mirrored_lineshape():
+    """VP_LTE_MIRROR parity (lbl_lineshape_voigt_lte_mirrored.h:44):
+    F = w(z) + w(zm). The mirror term matters at f << f0."""
+    from scipy import special
+
+    f = jnp.asarray([1e9, 50e9, 183e9])
+    a_plain = np.asarray(absorption(f, CAT, PF, T, P, jnp.asarray(VMR),
+                                    no_negative_absorption=False))
+    a_mirr = np.asarray(absorption(f, CAT, PF, T, P, jnp.asarray(VMR),
+                                   no_negative_absorption=False, mirrored=True))
+    # mirror term adds absorption at low frequency
+    assert a_mirr[0] > a_plain[0]
+    # near line center the mirror is negligible relative to the direct term
+    np.testing.assert_allclose(a_mirr[2], a_plain[2], rtol=1e-3)

@@ -35,13 +35,19 @@ class ClearskyScene:
     """Frozen scene state for clear-sky emission simulations."""
 
     atm: Atmosphere1D
-    cat: LineCatalog
-    pf: PartFunTable
+    cat: LineCatalog | None
+    pf: PartFunTable | None
     surface_temperature: jax.Array = dataclasses.field(
         default_factory=lambda: jnp.asarray(288.0)
     )
     surface_emissivity: jax.Array = dataclasses.field(
         default_factory=lambda: jnp.asarray(1.0)
+    )
+    # static: predefined absorption models + species tags naming atm.vmr
+    # rows (spectral_propmat_agendaAuto parity, src/m_abs.cc:234-300)
+    predef: tuple = dataclasses.field(metadata=dict(static=True), default=())
+    species_names: tuple = dataclasses.field(
+        metadata=dict(static=True), default=()
     )
 
 
@@ -82,11 +88,19 @@ def simulate_clearsky(
     else:
         dshift = jnp.ones(path_alt.shape, f_grid.dtype)
 
-    k = jax.vmap(
-        lambda t, p, v, d: absorption(
-            f_grid * d, scene.cat, scene.pf, t, p, v, block=block
-        )
-    )(pts.t, pts.p, pts.vmr, dshift)  # [np, F]
+    def point_abs(t, p, v, d):
+        fg = f_grid * d
+        a = jnp.zeros_like(f_grid)
+        if scene.cat is not None and scene.cat.n_lines > 0:
+            a = a + absorption(fg, scene.cat, scene.pf, t, p, v, block=block)
+        if scene.predef:
+            from .predefined import predefined_absorption
+
+            vmrs = {tag: v[i] for i, tag in enumerate(scene.species_names)}
+            a = a + predefined_absorption(scene.predef, fg, t, p, vmrs)
+        return a
+
+    k = jax.vmap(point_abs)(pts.t, pts.p, pts.vmr, dshift)  # [np, F]
 
     J = planck(f_grid[None, :], pts.t[:, None])  # [np, F]
 

@@ -145,3 +145,49 @@ def concat_catalogs(cats: Sequence[LineCatalog]) -> LineCatalog:
         for f in dataclasses.fields(LineCatalog)
     }
     return LineCatalog(**fields)
+
+
+def hitran_s(cat: LineCatalog, q296_per_line, T0: float = 296.0):
+    """HITRAN-convention line intensities S(296 K) for every line.
+
+    Parity: lbl_data.cpp:171 line::hitran_s — the inverse of the
+    einstein-A conversion, weighted by the isotopologue abundance.
+    q296_per_line: Q(296 K) per line (array or scalar).
+    """
+    import numpy as np
+
+    from .. import constants as const
+
+    f0 = np.asarray(cat.f0)
+    a = np.asarray(cat.a)
+    gu = np.asarray(cat.gu)
+    e0 = np.asarray(cat.e0)
+    ratio = np.asarray(cat.iso_ratio)
+    q = np.broadcast_to(np.asarray(q296_per_line, dtype=np.float64), f0.shape)
+    s_lte = a * gu * np.exp(-e0 / (const.k * T0)) / (f0**3 * q)
+    scl = -f0 * np.expm1(-const.h * f0 / (const.k * T0)) * (
+        const.c**2 / (8.0 * np.pi)
+    )
+    return ratio * s_lte * scl
+
+
+def keep_strongest(cat: LineCatalog, q296_per_line, percentile: float):
+    """Drop the weakest `percentile` % of lines by HITRAN intensity.
+
+    Parity: lbl_data.cpp:208 keep_hitran_s / percentile_hitran_s (the
+    example's abs_bands.keep_hitran_s(approximate_percentile=90)).
+    """
+    import numpy as np
+
+    s = hitran_s(cat, q296_per_line)
+    thresh = np.percentile(s, percentile)
+    keep = np.nonzero(s >= thresh)[0]
+    idx = jnp.asarray(keep.astype(np.int32))
+    take = lambda a: a[idx] if a.ndim >= 1 else a
+    return dataclasses.replace(
+        cat,
+        **{
+            f.name: getattr(cat, f.name)[idx]
+            for f in dataclasses.fields(LineCatalog)
+        },
+    )

@@ -1,0 +1,76 @@
+"""Measurement-vector pipeline tests (m_rad.cc HighPerf parity) and line
+filtering utilities."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from arts_tpu.lbl.catalog import hitran_s, keep_strongest
+from arts_tpu.path import geometric_path_1d
+from arts_tpu.retrieval import StateMapping
+from arts_tpu.sensor import gaussian_channels
+from arts_tpu.sensor.measurement import (
+    measurement_jacobian,
+    measurement_vector,
+    stack_paths,
+)
+from tests.test_clearsky import F_GRID, SCENE
+from tests.test_oem import vmr_targets
+
+
+def make_paths():
+    return [
+        geometric_path_1d(100e3, 180.0, 0.0, 80e3, 3000.0),
+        geometric_path_1d(100e3, 160.0, 0.0, 80e3, 3000.0),
+        geometric_path_1d(100e3, 140.0, 0.0, 80e3, 3000.0),
+    ]
+
+
+def test_stack_paths_padding_is_noop():
+    paths = make_paths()
+    alts, drs, bgs = stack_paths(paths)
+    assert alts.shape[0] == 3 and bgs == ["surface"] * 3
+    # padded rows end with zero-length segments
+    n0 = paths[0].n_points
+    assert np.all(np.asarray(drs)[0, n0 - 1 :] == 0.0)
+
+
+def test_measurement_vector_multi_geometry():
+    paths = make_paths()
+    f = jnp.asarray(np.asarray(F_GRID)[::10])
+    centers = np.linspace(175e9, 235e9, 7)
+    sensor = gaussian_channels(
+        np.asarray(f), centers=np.tile(centers, 3), fwhm=3e9,
+        geo_idx=np.repeat(np.arange(3), 7),
+    )
+    y = measurement_vector(SCENE, sensor, f, paths)
+    y = np.asarray(y)
+    assert y.shape == (21,)
+    assert np.all(np.isfinite(y)) and np.all(y > 0)
+    # slant paths are optically longer -> window channels dimmer-or-equal
+    # than nadir at the same frequency (colder emission level)
+    y0, y2 = y[:7], y[14:]
+    assert np.all(y2 <= y0 * 1.02)
+
+
+def test_measurement_jacobian_shapes():
+    paths = make_paths()[:2]
+    f = jnp.asarray(np.asarray(F_GRID)[::20])
+    sensor = gaussian_channels(
+        np.asarray(f), centers=np.tile(np.linspace(180e9, 230e9, 4), 2),
+        fwhm=4e9, geo_idx=np.repeat(np.arange(2), 4),
+    )
+    mapping = StateMapping(targets=[vmr_targets()], ref_scene=SCENE)
+    y, K = measurement_jacobian(SCENE, sensor, f, paths, mapping)
+    assert y.shape == (8,)
+    assert K.shape == (8, mapping.n_state)
+    assert np.all(np.isfinite(np.asarray(K)))
+    assert np.abs(np.asarray(K)).max() > 0
+
+
+def test_keep_strongest():
+    s = hitran_s(SCENE.cat, 174.6)
+    assert s.shape == (SCENE.cat.n_lines,) and np.all(s > 0)
+    cat2 = keep_strongest(SCENE.cat, 174.6, 50.0)
+    assert cat2.n_lines <= SCENE.cat.n_lines
+    assert cat2.n_lines >= 1

@@ -335,3 +335,59 @@ def load_abs_bands(path, species_list):
 def load_gridded_field(path):
     """GriddedField XML -> dict(name, gridnames, grids, data)."""
     return load(path)
+
+
+# ---------------------------------------------------------------------------
+# Writer (ascii): enough for data interchange of the numeric workhorses
+# (WriteXML parity for tensors and gridded fields).
+# ---------------------------------------------------------------------------
+_RANK_TAG = {1: "Vector", 2: "Matrix", 3: "Tensor3", 4: "Tensor4",
+             5: "Tensor5", 6: "Tensor6", 7: "Tensor7"}
+
+
+def _format_array(arr):
+    return "\n".join(repr(float(v)) for v in np.asarray(arr).ravel())
+
+
+def _write_value(fh, value):
+    if isinstance(value, str):
+        fh.write(f'<String>\n"{value}"</String>\n')
+    elif isinstance(value, (int, np.integer)):
+        fh.write(f"<Index>{int(value)}</Index>\n")
+    elif isinstance(value, (float, np.floating)):
+        fh.write(f"<Numeric>{float(value)!r}</Numeric>\n")
+    elif isinstance(value, dict) and "grids" in value:
+        g = value
+        n = len(g["grids"])
+        fh.write(f'<GriddedField version="2" N="{n}">\n')
+        _write_value(fh, g.get("name", ""))
+        for nm in g.get("gridnames", [""] * n):
+            _write_value(fh, nm)
+        for grid in g["grids"]:
+            _write_value(fh, np.asarray(grid))
+        _write_value(fh, np.asarray(g["data"]))
+        fh.write("</GriddedField>\n")
+    elif isinstance(value, (list, tuple)):
+        fh.write(f'<Array type="Array" nelem="{len(value)}">\n')
+        for v in value:
+            _write_value(fh, v)
+        fh.write("</Array>\n")
+    else:
+        arr = np.asarray(value)
+        tag = _RANK_TAG[max(arr.ndim, 1)]
+        shape = " ".join(str(s) for s in (arr.shape if arr.ndim else (1,)))
+        fh.write(
+            f'<{tag} version="2" type="Numeric" rank="{max(arr.ndim, 1)}" '
+            f'shape="{shape}">\n'
+        )
+        fh.write(_format_array(arr))
+        fh.write(f"\n</{tag}>\n")
+
+
+def save(value, path):
+    """Write a value as ARTS-compatible ascii XML (numeric types, strings,
+    arrays, gridded fields)."""
+    with open(path, "w") as fh:
+        fh.write('<?xml version="1.0"?>\n<arts version="3" format="ascii">\n')
+        _write_value(fh, value)
+        fh.write("</arts>\n")

@@ -99,21 +99,24 @@ def _shape_sum(
     VP_LTE_MIRROR shape F = w(z) + w(zm), zm = inv_gd (f + f0) + i zi
     (lbl_lineshape_voigt_lte_mirrored.h:44)."""
 
+    # Weideman order by precision: 24 terms reach f32 roundoff; 64 for f64
+    wofz_n = 24 if jnp.result_type(f_grid.dtype) == jnp.float32 else 64
+
     def blocksum(args):
         s_b, f0_b, ig_b, zi_b, cut_b = args
         z = ig_b[:, None] * (f_grid[None, :] - f0_b[:, None]) + 1j * zi_b[:, None]
-        w = wofz(z)
+        w = wofz(z, wofz_n)
         if mirrored:
             zm = ig_b[:, None] * (f_grid[None, :] + f0_b[:, None]) + 1j * zi_b[:, None]
-            w = w + wofz(zm)
+            w = w + wofz(zm, wofz_n)
         has_cut = jnp.isfinite(cut_b)
         # sanitize inf cutoffs BEFORE the multiply: 0*inf inside a discarded
         # where-branch still NaNs the product's cotangent in reverse mode
         cut_safe = jnp.where(has_cut, cut_b, 0.0)
         zcut = ig_b * cut_safe + 1j * zi_b
-        wc = wofz(zcut)
+        wc = wofz(zcut, wofz_n)
         if mirrored:
-            wc = wc + wofz(ig_b * (2.0 * f0_b + cut_safe) + 1j * zi_b)
+            wc = wc + wofz(ig_b * (2.0 * f0_b + cut_safe) + 1j * zi_b, wofz_n)
         wcut = jnp.where(has_cut[:, None], wc[:, None], 0.0)
         inside = jnp.abs(f_grid[None, :] - f0_b[:, None]) <= cut_b[:, None]
         contrib = jnp.where(inside, s_b[:, None] * (w - wcut), 0.0)

@@ -203,3 +203,68 @@ def predefined_absorption(names, f_grid, t, p_pa, vmrs):
     for name in names:
         alpha = alpha + PREDEF_MODELS[name](f_grid, t, p_pa, vmrs)
     return alpha
+
+
+# ---------------------------------------------------------------------------
+# ELL07 liquid water cloud (Ellison 2007 permittivity + Rayleigh absorption)
+# ---------------------------------------------------------------------------
+def liquidcloud_ell07(f_grid, t, p_pa, vmrs):
+    """Suspended-droplet absorption [1/m] from the Ellison (2007) pure-water
+    permittivity (ELL07.cc parity). vmrs['liquidcloud'] = LWC [kg/m^3]."""
+    lwc = vmrs["liquidcloud"]
+    tc = t - 273.15
+    eps_s = 87.9144 - 0.404399 * tc - 9.58726e-4 * tc**2 - 1.32802e-6 * tc**3
+    a = jnp.asarray([79.23882, 3.815866, 1.634967])
+    b = jnp.asarray([0.004300598, 0.01117295, 0.006841548])
+    c = jnp.asarray([1.382264e-13, 3.510354e-16, 6.30035e-15])
+    d = jnp.asarray([652.7648, 1249.533, 405.5169])
+    TC = 133.1383
+    delta = a * jnp.exp(-b * tc)
+    tau = c * jnp.exp(d / (tc + TC))
+    delta4 = 0.8379692 - 0.006118594 * tc - 0.000012936798 * tc**2
+    f0 = 4235901e6 + (-1426088e4) * tc + 27381570e1 * tc**2 + (-1246943.0) * tc**3
+    tau4 = 9.618642e-14 + 1.795786e-16 * tc - 9.310017e-18 * tc**2 + 1.655473e-19 * tc**3
+    delta5 = 0.6165532 + 0.007238532 * tc - 0.00009523366 * tc**2
+    f1 = 15983170e6 + (-7441357e4) * tc + 497448e3 * tc**2
+    tau5 = 2.882476e-14 - 3.142118e-16 * tc + 3.528051e-18 * tc**2
+
+    w = 2.0 * jnp.pi * f_grid  # [F]
+    relax = lambda tt, dd: (
+        tt * dd / (1.0 + (w * tt) ** 2),
+        tt**2 * dd / (1.0 + (w * tt) ** 2),
+    )
+    im3 = sum(relax(tau[i], delta[i])[0] for i in range(3))
+    re3 = sum(relax(tau[i], delta[i])[1] for i in range(3))
+
+    def resonant(tt, dd, fr):
+        tp2 = (2.0 * jnp.pi * tt) ** 2
+        rep = f_grid * (fr + f_grid) / (1.0 + tp2 * (fr + f_grid) ** 2)
+        rem = f_grid * (fr - f_grid) / (1.0 + tp2 * (fr - f_grid) ** 2)
+        re = tp2 * dd / 2.0 * (rep - rem)
+        im = (
+            jnp.pi
+            * f_grid
+            * tt
+            * dd
+            * (
+                1.0 / (1.0 + tp2 * (fr + f_grid) ** 2)
+                + 1.0 / (1.0 + tp2 * (fr - f_grid) ** 2)
+            )
+        )
+        return re, im
+
+    re4, im4 = resonant(tau4, delta4, f0)
+    re5, im5 = resonant(tau5, delta5, f1)
+
+    re_eps = eps_s - w**2 * re3 - re4 - re5
+    im_eps = w * im3 + im4 + im5
+
+    m = 1.0e3  # droplet density [kg/m^3]
+    ImNw = 1.5 / m * (3.0 * im_eps / ((re_eps + 2.0) ** 2 + im_eps**2))
+    import math
+
+    dB_km_to_1_m = 1e-3 / (10.0 * math.log10(math.e))
+    return lwc * 1.0e6 * dB_km_to_1_m * 0.1820 * (f_grid * 1e-9) * ImNw
+
+
+PREDEF_MODELS["liquidcloud-ELL07"] = liquidcloud_ell07

@@ -59,7 +59,16 @@ def build_scene(n_lev=60, n_lines=2048, n_freq=4096):
 
 
 def main():
+    import os
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
     import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
 
     from arts_tpu.fwd_allsky import simulate_allsky
 

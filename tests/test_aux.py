@@ -76,3 +76,45 @@ def test_sweep_checkpoint_roundtrip(tmp_path):
     back = ck.restore(7, state)
     np.testing.assert_allclose(np.asarray(back["x"]), np.arange(5.0))
     assert int(back["meta"]) == 3
+
+
+def test_ell07_liquid_cloud():
+    from arts_tpu.predefined.models import liquidcloud_ell07
+
+    f = jnp.asarray([31.5e9, 90e9, 180e9])
+    a = np.asarray(liquidcloud_ell07(f, 283.0, 9e4, {"liquidcloud": 5e-4}))
+    # increasing with frequency in the microwave, positive, sane magnitude
+    assert np.all(a > 0) and a[2] > a[1] > a[0]
+    # LWC 0.5 g/m3 at 31 GHz: roughly 0.005-0.05 dB/km -> 1e-6..1e-5 1/m
+    assert 1e-6 < a[0] < 1e-4
+    # linear in LWC
+    a2 = np.asarray(liquidcloud_ell07(f, 283.0, 9e4, {"liquidcloud": 1e-3}))
+    np.testing.assert_allclose(a2 / a, 2.0, rtol=1e-10)
+
+
+def test_checked_wrapper():
+    from arts_tpu.utils.checks import checked
+
+    def good(x):
+        return x * 2
+
+    def bad(x):
+        return x / 0.0
+
+    err, out = checked(good)(jnp.ones(3))
+    err.throw()
+    np.testing.assert_allclose(np.asarray(out), 2.0)
+    err2, _ = checked(bad)(jnp.ones(3))
+    with pytest.raises(Exception):
+        err2.throw()
+
+
+def test_find_data(tmp_path, monkeypatch):
+    from arts_tpu.io.config import find_data
+
+    (tmp_path / "lines").mkdir()
+    (tmp_path / "lines" / "O2-66.xml").write_text("x")
+    monkeypatch.setenv("ARTS_CAT_DATA_DIR", str(tmp_path))
+    assert find_data("lines/O2-66.xml").exists()
+    with pytest.raises(FileNotFoundError):
+        find_data("nope/missing.xml")

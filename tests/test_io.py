@@ -93,3 +93,25 @@ def test_legendre_moments_hg():
     gl, sca = legendre_moments(za, p, 6)
     np.testing.assert_allclose(gl, g ** np.arange(6), atol=2e-4)
     np.testing.assert_allclose(sca, 1.0, rtol=1e-4)
+
+
+def test_xml_writer_roundtrip(tmp_path):
+    from arts_tpu.io.artsxml import save
+
+    v = np.linspace(0.0, 1.0, 5)
+    m = np.arange(6.0).reshape(2, 3)
+    gf = dict(name="Temperature", gridnames=["alt"], grids=[v], data=v * 2)
+    for i, val in enumerate([v, m, gf, [v, m], "hello", 7, 3.25]):
+        p = tmp_path / f"x{i}.xml"
+        save(val, p)
+        back = load(p)
+        if isinstance(val, np.ndarray):
+            np.testing.assert_allclose(back, val)
+        elif isinstance(val, dict):
+            np.testing.assert_allclose(back["data"], val["data"])
+            assert back["name"] == "Temperature"
+        elif isinstance(val, list):
+            np.testing.assert_allclose(back[0], val[0])
+            np.testing.assert_allclose(back[1], val[1])
+        else:
+            assert back == val

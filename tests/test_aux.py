@@ -118,3 +118,19 @@ def test_find_data(tmp_path, monkeypatch):
     assert find_data("lines/O2-66.xml").exists()
     with pytest.raises(FileNotFoundError):
         find_data("nope/missing.xml")
+
+
+def test_plots_headless():
+    import matplotlib
+
+    matplotlib.use("Agg", force=True)
+    from arts_tpu import plots
+    from tests.test_clearsky import SCENE
+
+    f = np.linspace(1e9, 2e9, 5)
+    fig, ax = plots.spectral_radiance(f, np.ones(5), unit="Tb")
+    fig2, ax2 = plots.absorption_spectrum(f, np.full(5, 1e-6))
+    fig3, _ = plots.flux_profile(np.linspace(0, 1e4, 5), np.ones(5), np.ones(5))
+    fig4, _ = plots.atm_profiles(SCENE.atm)
+    for g in (fig, fig2, fig3, fig4):
+        assert g is not None

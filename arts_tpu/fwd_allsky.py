@@ -87,6 +87,38 @@ def _scatterer_profiles(sc, f_grid, z, t, nleg):
 
 
 @functools.partial(
+    jax.jit, static_argnames=("block", "backend")
+)
+def gas_absorption_profile(scene: AllskyScene, f_grid, block: int = 256,
+                           backend: str = "xla"):
+    """Gas absorption on the scene's levels, TOA-first: [F, Z].
+
+    Separate jit so huge pipelines can compile absorption and the DISORT
+    solve independently (the fused whole-pipeline XLA compile grows
+    superlinearly)."""
+    z = scene.atm.z[::-1]
+    pts = scene.atm.at(z)
+
+    def gas_abs(t, p, v):
+        a = jnp.zeros_like(f_grid)
+        if scene.cat is not None and scene.cat.n_lines > 0:
+            if backend == "pallas":
+                from .lbl.voigt import absorption_pallas
+
+                a = a + absorption_pallas(f_grid, scene.cat, scene.pf, t, p, v)
+            else:
+                a = a + absorption(f_grid, scene.cat, scene.pf, t, p, v, block=block)
+        if scene.predef:
+            from .predefined import predefined_absorption
+
+            vmrs = {tag: v[i] for i, tag in enumerate(scene.species_names)}
+            a = a + predefined_absorption(scene.predef, f_grid, t, p, vmrs)
+        return a
+
+    return jnp.moveaxis(jax.vmap(gas_abs)(pts.t, pts.p, pts.vmr), 0, 1)
+
+
+@functools.partial(
     jax.jit,
     static_argnames=(
         "nquad", "nleg", "nfourier", "mu0", "phis", "block", "backend",
@@ -105,11 +137,14 @@ def simulate_allsky(
     block: int = 256,
     backend: str = "xla",
     fast_linalg: bool = False,
+    k_gas=None,
 ):
     """DISORT radiance/flux field for a vertical profile of scene.atm.
 
     Returns a DisortOutput with leading frequency axis; levels ordered
     TOA -> surface (level L = surface), matching DISORT conventions.
+    k_gas: optional precomputed [F, Z] gas absorption (TOA-first; from
+    gas_absorption_profile) to split the compile.
     """
     nleg = nleg or nquad
     # levels: atm grid descending in pressure = ascending altitude; DISORT
@@ -119,24 +154,10 @@ def simulate_allsky(
     F = f_grid.shape[0]
     Z = z.shape[0]
 
-    def gas_abs(t, p, v):
-        a = jnp.zeros_like(f_grid)
-        if scene.cat is not None and scene.cat.n_lines > 0:
-            if backend == "pallas":
-                from .lbl.voigt import absorption_pallas
-
-                a = a + absorption_pallas(f_grid, scene.cat, scene.pf, t, p, v)
-            else:
-                a = a + absorption(f_grid, scene.cat, scene.pf, t, p, v, block=block)
-        if scene.predef:
-            from .predefined import predefined_absorption
-
-            vmrs = {tag: v[i] for i, tag in enumerate(scene.species_names)}
-            a = a + predefined_absorption(scene.predef, f_grid, t, p, vmrs)
-        return a
-
-    k_gas = jax.vmap(gas_abs)(pts.t, pts.p, pts.vmr)  # [Z, F]
-    k_gas = jnp.moveaxis(k_gas, 0, 1)  # [F, Z]
+    if k_gas is None:
+        k_gas = gas_absorption_profile.__wrapped__(
+            scene, f_grid, block=block, backend=backend
+        )
 
     k_ext = k_gas
     k_sca = jnp.zeros_like(k_gas)

@@ -70,15 +70,19 @@ def main():
     except Exception:
         pass
 
-    from arts_tpu.fwd_allsky import simulate_allsky
+    from arts_tpu.fwd_allsky import gas_absorption_profile, simulate_allsky
 
     backend = "pallas" if jax.devices()[0].platform != "cpu" else "xla"
     scene, f_grid = build_scene()
 
     def run():
+        # two jits: absorption and the DISORT solve compile independently
+        # (the fused whole-pipeline compile is pathologically slow on the
+        # remote-compile path)
+        k_gas = gas_absorption_profile(scene, f_grid, backend=backend)
         out = simulate_allsky(
             scene, f_grid, nquad=16, nfourier=1, backend=backend,
-            fast_linalg=True,
+            fast_linalg=True, k_gas=k_gas,
         )
         return out.flux_up
 

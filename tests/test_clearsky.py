@@ -225,3 +225,22 @@ def test_wind_doppler_shift():
     )
     rel = np.abs(I1 - I0).max() / I0.max()
     assert 1e-7 < rel < 1e-4  # O(v/c * dlnI/dlnf)
+
+
+def test_limb_radiance():
+    """Limb-sounding geometry end-to-end (BASELINE config 2 geometry)."""
+    p = geometric_path_1d(100e3, 99.7, 0.0, 80e3, 5000.0)  # tangent ~ 8 km
+    assert p.background == "space"
+    I = simulate_clearsky(
+        SCENE, F_GRID, jnp.asarray(p.alt), jnp.asarray(p.dr), background="space"
+    )
+    bt = np.asarray(simulate_clearsky_bt(
+        SCENE, F_GRID, jnp.asarray(p.alt), jnp.asarray(p.dr), background="space"
+    ))
+    assert np.all(np.isfinite(bt))
+    # at the 183 GHz line center the limb path is opaque -> warm; in the
+    # window it is transparent down to the tangent -> sees cold space
+    i_line = np.argmin(np.abs(np.asarray(F_GRID) - 183.31e9))
+    i_win = np.argmin(np.abs(np.asarray(F_GRID) - 205e9))
+    assert bt[i_line] > 150.0
+    assert bt[i_win] < bt[i_line]

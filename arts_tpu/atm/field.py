@@ -81,14 +81,19 @@ class Atmosphere1D:
         return AtmPointData(t=t, p=p, vmr=vmr, mag=mag, wind=wind)
 
 
-def hydrostatic_pressure(z, t, p0, g=9.80665, mean_mass_gmol=28.9647):
+def hydrostatic_pressure(
+    z, t, p0, g0=9.80665, mean_mass_gmol=28.9647, radius=6.371e6
+):
     """Hydrostatic p(z) from T(z) and surface pressure (host or traced).
 
-    Parity: m_atm.cc atm_fieldHydrostaticPressure (simplified: constant g
-    and mean molar mass)."""
+    Parity: m_atm.cc atm_fieldHydrostaticPressure; gravity decays with
+    altitude as g0 (R/(R+z))^2 (the reference's gravity operator in the
+    functional fields, src/core/functional/)."""
     from .. import constants as const
 
     m = mean_mass_gmol * 1e-3 / const.NA  # molecule mass [kg]
+    zbar = 0.5 * (z[1:] + z[:-1])
+    g = g0 * (radius / (radius + zbar)) ** 2
     tbar = 0.5 * (t[1:] + t[:-1])
     dz = z[1:] - z[:-1]
     dlnp = -m * g * dz / (const.k * tbar)

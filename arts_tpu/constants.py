@@ -71,3 +71,12 @@ def kaycm2freq(x):
 
 def freq2kaycm(x):
     return x / KAYSER
+
+
+def wavelen2freq(x):
+    """Wavelength [m] -> frequency [Hz]."""
+    return c / x
+
+
+def freq2wavelen(x):
+    return c / x

@@ -38,7 +38,11 @@ class OEMResult:
     lm_gamma_history: Optional[list] = None
 
 
-def _solve_spd(Am, b):
+def _solve_spd(Am, b, cg=False):
+    if cg:
+        # conjugate-gradient variant (invlib's *_cg methods; large n_state)
+        x, _ = jax.scipy.sparse.linalg.cg(lambda v: Am @ v, b, maxiter=10 * b.shape[-1])
+        return x
     cf = jax.scipy.linalg.cho_factor(Am)
     return jax.scipy.linalg.cho_solve(cf, b)
 
@@ -61,10 +65,14 @@ def oem(
 ) -> OEMResult:
     """Run a MAP retrieval.
 
-    forward: x -> y (jittable). method: "li" (one linear step), "gn", "lm".
+    forward: x -> y (jittable). method: "li" (one linear step), "gn", "lm",
+    optionally with the invlib "_cg" suffix ("gn_cg"...) to solve the
+    normal equations by conjugate gradients.
     stop_dx: convergence when dx' (JtSeJ + Sa^-1) dx / n_state < stop_dx
     (the Rodgers d_i^2 criterion, as invlib).
     """
+    use_cg = method.endswith("_cg")
+    method = method.removesuffix("_cg")
     x_a = jnp.asarray(x_a)
     y_obs = jnp.asarray(y_obs)
     n = x_a.size
@@ -107,7 +115,7 @@ def oem(
             accepted = False
             while not accepted:
                 Hd = H + gamma * Sa_inv  # Marquardt damping scaled by Sa^-1
-                dx = _solve_spd(Hd, g)
+                dx = _solve_spd(Hd, g, use_cg)
                 x_try = x + dx
                 y_try = fwd_fn(x_try)
                 cy_t, cx_t = cost_parts(x_try, y_try)
@@ -121,7 +129,7 @@ def oem(
                 else:
                     gamma = max(gamma, lm_gamma_threshold) * lm_gamma_inc
         else:
-            dx = _solve_spd(H, g)
+            dx = _solve_spd(H, g, use_cg)
             x_try = x + dx
             y_try = fwd_fn(x_try)
             cy_t, cx_t = cost_parts(x_try, y_try)

@@ -74,3 +74,18 @@ def gaussian_channels(
         w=jnp.asarray(np.concatenate(ws)),
         n_elements=len(centers),
     )
+
+
+def raw_channels(n_freq, geo_idx=0) -> SensorArray:
+    """One measurement element per frequency grid point (the reference's
+    measurement_sensorAddSimple raw sensor)."""
+    import numpy as np
+
+    idx = np.arange(n_freq, dtype=np.int32)
+    return SensorArray(
+        row=jnp.asarray(idx),
+        geo=jnp.asarray(np.full(n_freq, geo_idx, dtype=np.int32)),
+        freq=jnp.asarray(idx),
+        w=jnp.ones((n_freq,)),
+        n_elements=int(n_freq),
+    )

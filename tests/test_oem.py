@@ -103,3 +103,35 @@ def test_sensor_contraction():
     centers = np.linspace(175e9, 235e9, 25)
     expect = np.interp(centers, f, np.linspace(0.0, 1.0, f.size))
     np.testing.assert_allclose(np.asarray(y), expect, rtol=1e-3)
+
+
+def test_oem_cg_variant_matches():
+    from arts_tpu.retrieval.covariance import exponential
+
+    mapping = StateMapping(targets=[vmr_targets()], ref_scene=SCENE)
+    n = mapping.n_state
+    z = np.asarray(SCENE.atm.z)
+    bump = 1.0 + 0.1 * np.exp(-0.5 * ((z - 5e3) / 4e3) ** 2)
+    y_true = measurement(mapping.to_scene(jnp.asarray(bump)))
+    x_a = jnp.ones((n,))
+    S_e = jnp.eye(y_true.size) * (1e-4 * float(jnp.abs(y_true).mean())) ** 2
+    S_a = exponential(z, 0.3, 10e3)
+
+    def forward(x):
+        return measurement(mapping.to_scene(x))
+
+    r = oem(forward, x_a, y_true, S_a, S_e, method="gn", max_iter=8)
+    r_cg = oem(forward, x_a, y_true, S_a, S_e, method="gn_cg", max_iter=8)
+    np.testing.assert_allclose(np.asarray(r_cg.x), np.asarray(r.x), atol=5e-3)
+
+
+def test_covariance_builders():
+    from arts_tpu.retrieval.covariance import block_diag, diagonal, gaussian
+
+    d = diagonal([1.0, 2.0])
+    np.testing.assert_allclose(np.asarray(d), [[1, 0], [0, 4]])
+    g = gaussian([0.0, 1.0, 2.0], 2.0, 1.0)
+    np.testing.assert_allclose(np.asarray(g)[0, 0], 4.0)
+    assert np.asarray(g)[0, 2] < np.asarray(g)[0, 1]
+    b = block_diag(d, g)
+    assert b.shape == (5, 5) and float(b[0, 3]) == 0.0

@@ -183,7 +183,6 @@ def keep_strongest(cat: LineCatalog, q296_per_line, percentile: float):
     thresh = np.percentile(s, percentile)
     keep = np.nonzero(s >= thresh)[0]
     idx = jnp.asarray(keep.astype(np.int32))
-    take = lambda a: a[idx] if a.ndim >= 1 else a
     return dataclasses.replace(
         cat,
         **{

@@ -149,7 +149,8 @@ def _solve_block_tridiag(Adn, Adiag, Aup, rhs, fast_linalg=False):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "nquad", "nleg", "nfourier", "mu0", "phi0", "phis", "fast_linalg"
+        "nquad", "nleg", "nfourier", "mu0", "phi0", "phis", "fast_linalg",
+        "intensity_correction",
     ),
 )
 def disort(
@@ -161,6 +162,7 @@ def disort(
     phi0: float = 0.0,
     phis: tuple = (),
     fast_linalg: bool = False,
+    intensity_correction: bool = False,
 ) -> DisortOutput:
     """Solve one plane-parallel RT problem (vmap over frequency outside).
 
@@ -395,6 +397,8 @@ def disort(
         fdn = fdn_stream
 
     u_out = None
+    if phis and intensity_correction and mu0 > 0.0:
+        pass  # correction applied after Fourier synthesis below
     if phis:
         phis_arr = jnp.asarray(np.asarray(phis, dtype=np.float64) * np.pi / 180.0)
         ms = jnp.arange(M)
@@ -402,6 +406,10 @@ def disort(
         dn_all = jnp.einsum("mlj,mp->ljp", v_lvl, cosm)[..., ::-1, :]
         up_all = jnp.einsum("mlj,mp->ljp", u_lvl, cosm)
         u_out = jnp.concatenate([dn_all, up_all], -2)
+        if intensity_correction and mu0 > 0.0:
+            u_out = u_out + tms_ims_correction(
+                inp, nquad, nleg, mu0, phi0, phis
+            )
 
     return DisortOutput(
         mu=jnp.asarray(np.concatenate([-mu_np[::-1], mu_np])),
@@ -411,3 +419,164 @@ def disort(
         u0=u0,
         u=u_out,
     )
+
+
+def _legendre_all(ctheta, kmax):
+    """P_k(ctheta) for k = 0..kmax, stacked on axis 0 (static recurrence)."""
+    pls = [jnp.ones_like(ctheta), ctheta]
+    for k in range(2, kmax + 1):
+        pls.append(((2 * k - 1) * ctheta * pls[-1] - (k - 1) * pls[-2]) / k)
+    return jnp.stack(pls[: kmax + 1], 0)
+
+
+def _single_scat(phase, omega, tau_lvl, mu, mu0, fbeam):
+    """Vectorized c_single_scat (cdisort:~2470) at all layer boundaries.
+
+    phase: [L, ...] per-layer phase value at the scattering angle;
+    omega: [L]; tau_lvl: [L+1] cumulative optical depth; mu: scalar
+    output cosine (+-); returns [L+1, ...].
+    """
+    L = omega.shape[0]
+    u = tau_lvl[:, None]  # [L+1, 1] boundary depths
+    t0 = tau_lvl[:-1][None, :]  # [1, L] layer tops
+    t1 = tau_lvl[1:][None, :]  # [1, L] layer bottoms
+
+    def E(t):
+        return jnp.exp(-((t - u) / mu + t / mu0))
+
+    up = mu > 0
+    # upward: layers j >= boundary index; start clamped to u
+    mask_up = t1 > u + 1e-30  # layer strictly below the boundary (or partial)
+    term_up = E(jnp.maximum(t0, u)) - E(t1)
+    # downward: layers j <= boundary-1; end clamped to u
+    mask_dn = t0 < u - 1e-30
+    term_dn = E(jnp.minimum(t1, u)) - E(t0)
+    term = jnp.where(up, jnp.where(mask_up, term_up, 0.0),
+                     jnp.where(mask_dn, term_dn, 0.0))
+    ans = jnp.sum(term * (omega * phase)[None, :], axis=1)
+    denom = 1.0 + mu / mu0
+    return ans * fbeam / (4.0 * jnp.pi * denom)
+
+
+def tms_ims_correction(
+    inp: DisortInput,
+    nquad: int,
+    nleg_all: int,
+    mu0: float,
+    phi0: float,
+    phis: tuple,
+    ims: bool = True,
+):
+    """TMS/IMS intensity corrections (Nakajima-Tanaka / Stamnes).
+
+    Parity: cdisort c_new_intensity_correction (:2529-2664) — replaces the
+    delta-M-truncated single scattering with the exact phase function
+    (TMS) and subtracts the secondary-scattering delta-M overshoot near
+    the solar aureole (IMS); the reference's disort.h:246-330 u_corr.
+    Returns du [L+1, NQuad, nphi] to ADD to the intensity field.
+    """
+    import numpy as np_
+
+    N = nquad // 2
+    mu_np, _ = double_gauss(N)
+    mu_all = np_.concatenate([-mu_np[::-1], mu_np])  # ascending
+    dtype = inp.tau.dtype
+
+    omega = jnp.clip(inp.omega, 0.0, 1.0 - 1e-9)
+    f = inp.f
+    wf = omega * f
+    omega_p = omega * (1.0 - f) / (1.0 - wf)
+    dtau_p = (1.0 - wf) * inp.tau
+    tau_p = jnp.concatenate([jnp.zeros((1,), dtype), jnp.cumsum(dtau_p)])
+    tau_u = jnp.concatenate([jnp.zeros((1,), dtype), jnp.cumsum(inp.tau)])
+
+    nstr = nquad
+    kfull = inp.leg.shape[-1] - 1
+    phis_r = np_.deg2rad(np_.asarray(phis, dtype=np_.float64))
+    phi0_r = np_.deg2rad(phi0)
+
+    out = []
+    for i, mu in enumerate(mu_all):
+        du_phi = []
+        for pr in phis_r:
+            ct = -mu0 * mu + np_.sqrt(max((1 - mu0**2) * (1 - mu**2), 0.0)) * np_.cos(
+                pr - phi0_r
+            )
+            P = _legendre_all(jnp.asarray(ct, dtype), kfull)  # [K+1]
+            ks = jnp.arange(kfull + 1, dtype=dtype)
+            w2k1 = 2.0 * ks + 1.0
+            phasa = jnp.sum(w2k1 * P * inp.leg, axis=-1)  # [L]
+            ktrunc = min(nstr - 1, kfull)
+            legm = (inp.leg[:, : ktrunc + 1] - f[:, None]) / (1.0 - f[:, None])
+            legm = legm.at[:, 0].set(1.0)
+            phasm = jnp.sum(
+                (2.0 * jnp.arange(ktrunc + 1) + 1.0) * P[: ktrunc + 1] * legm,
+                axis=-1,
+            )
+            phast = phasa / (1.0 - f * omega)
+            ussndm = _single_scat(phast, omega, tau_p, mu, mu0, inp.fbeam)
+            ussp = _single_scat(phasm, omega_p, tau_p, mu, mu0, inp.fbeam)
+            du = ussndm - ussp  # [L+1]
+
+            if ims and mu < 0.0:
+                theta0 = np_.degrees(np_.arccos(-mu0))
+                thetap = np_.degrees(np_.arccos(mu))
+                if abs(theta0 - thetap) <= 10.0:
+                    du = du - _ims_term(inp, ct, tau_u, nstr, kfull, mu, mu0)
+            du_phi.append(du)
+        out.append(jnp.stack(du_phi, -1))
+    return jnp.stack(out, 1)  # [L+1, NQuad, nphi]
+
+
+def _ims_term(inp: DisortInput, ct, tau_u, nstr, kfull, mu, mu0):
+    """c_secondary_scat parity: delta-M spike double-scattering term [L+1]."""
+    dtype = inp.tau.dtype
+    omega = jnp.clip(inp.omega, 0.0, 1.0 - 1e-9)
+    f = inp.f
+    # cumulative (unscaled) means down to each boundary
+    w_dt = omega * inp.tau
+    f_dt = f * w_dt
+    stau = tau_u[1:]  # boundary depths (skip TOA where the term is 0)
+    wbar = jnp.cumsum(w_dt)
+    fbar = jnp.cumsum(f_dt)
+    tiny = 1e-4
+    ok = (wbar > tiny) & (fbar > tiny) & (stau > tiny)
+    fbar_n = fbar / jnp.where(wbar > 0, wbar, 1.0)
+    wbar_n = wbar / jnp.where(stau > 0, stau, 1.0)
+
+    P = _legendre_all(jnp.asarray(ct, dtype), kfull)
+    # pspike: k < nstr with gbar = 1; k >= nstr with gbar from moments
+    pspike = jnp.sum((2.0 * jnp.arange(1, min(nstr, kfull + 1)) + 1.0)
+                     * P[1:min(nstr, kfull + 1)])
+    pspike = 1.0 + pspike * jnp.ones_like(stau)
+    if kfull >= nstr:
+        gmom = jnp.cumsum(inp.leg[:, nstr:] * w_dt[:, None], axis=0)  # [L, K-]
+        denom = fbar_n * wbar_n * stau
+        gbar = jnp.where(
+            (denom > tiny)[:, None], gmom / jnp.where(denom > 0, denom, 1.0)[:, None], 0.0
+        )
+        kk = jnp.arange(nstr, kfull + 1, dtype=dtype)
+        pspike = pspike + jnp.sum(
+            gbar * (2.0 - gbar) * (2.0 * kk + 1.0) * P[nstr:], axis=-1
+        )
+    umu0p = mu0 / (1.0 - fbar_n * wbar_n)
+
+    def xi(umu1, umu2, tau):
+        x1 = (umu2 - umu1) / (umu2 * umu1)
+        e1 = jnp.exp(-tau / umu1)
+        main = ((tau * x1 - 1.0) * jnp.exp(-tau / umu2) + e1) / (
+            jnp.where(x1 == 0, 1.0, x1) ** 2 * umu1 * umu2
+        )
+        limit = tau * tau * e1 / (2.0 * umu1 * umu2)
+        return jnp.where(x1 == 0, limit, main)
+
+    val = (
+        inp.fbeam
+        / (4.0 * jnp.pi)
+        * (fbar_n * wbar_n) ** 2
+        / (1.0 - fbar_n * wbar_n)
+        * pspike
+        * xi(-mu, umu0p, stau)
+    )
+    val = jnp.where(ok, val, 0.0)
+    return jnp.concatenate([jnp.zeros((1,), dtype), val])

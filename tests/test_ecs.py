@@ -1,0 +1,159 @@
+"""ECS full-band line mixing tests: Wigner symbols vs known values, the
+no-coupling limit against the plain Voigt LBL path, area conservation of
+line mixing, and spectral-shape physics (intensity transfer toward the
+band center — the 60-GHz O2 band signature)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import arts_tpu.constants as const
+from arts_tpu.lbl.catalog import build_catalog
+from arts_tpu.lbl.ecs import (
+    EcsBand,
+    ecs_absorption,
+    make_o2_band,
+    makarov_reduced_dipole,
+    o2_erot,
+    wigner3j,
+    wigner6j,
+)
+from arts_tpu.lbl.partfun import rigid_rotor_table
+from arts_tpu.lbl.tmodel import Law
+from arts_tpu.lbl.voigt import absorption
+
+PF = rigid_rotor_table(1, 150.0, 1.0)
+
+
+def o2_like_lines(n_pairs=4):
+    """Synthetic 60-GHz-band-like O2 lines: N+- fine-structure pairs."""
+    lines = []
+    f0s = [56.26e9, 58.45e9, 60.31e9, 62.49e9, 64.13e9, 59.59e9, 61.15e9, 57.61e9]
+    k = 0
+    for N in range(1, 2 * n_pairs, 2):
+        for branch in (+1, -1):
+            Ju = N + (1 if branch > 0 else 0)
+            Jl = N + (0 if branch > 0 else 1) - (0 if branch > 0 else 0)
+            # O2 magnetic dipole: N+ line J: N -> N+1? use (Ju, Jl) valid
+            Ju_, Jl_ = (N, N + 1) if branch < 0 else (N + 1, N)
+            lines.append(
+                dict(
+                    f0=f0s[k % len(f0s)],
+                    a=4e-10 / N,
+                    e0=o2_erot(N),
+                    gu=2.0 * Ju_ + 1.0,
+                    Ju=float(Ju_), Jl=float(Jl_), Nu=float(N), Nl=float(N),
+                    g0=(1.5e4, 0.8),  # ~0.05 cm-1/atm in Hz/Pa: realistic O2
+                    t0=296.0,
+                )
+            )
+            k += 1
+    return lines
+
+
+def test_wigner_symbols():
+    # classic values
+    np.testing.assert_allclose(
+        wigner3j(1, 1, 2, 0, 0, 0), np.sqrt(2.0 / 15.0), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        wigner3j(2, 2, 2, 0, 0, 0), -np.sqrt(2.0 / 35.0), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        wigner6j(1, 1, 1, 1, 1, 1), 1.0 / 6.0, rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        wigner6j(2, 2, 2, 2, 2, 2), -3.0 / 70.0, rtol=1e-12
+    )
+    assert wigner6j(0, 1, 2, 0, 1, 1) == 0.0  # triangle violation
+
+
+def test_o2_erot():
+    assert o2_erot(1, 0) == pytest.approx(0.0)
+    # rotational ladder increases with N; magnitudes ~ K-scale (1e-22 J)
+    assert 0 < o2_erot(3) < o2_erot(5) < o2_erot(9)
+    assert 1e-23 < o2_erot(3) < 1e-20
+
+
+def test_reduced_dipole_nonzero():
+    d = makarov_reduced_dipole(2.0, 1.0, 1.0)
+    assert abs(d) > 0.01
+
+
+def test_no_coupling_limit_matches_voigt():
+    """With the ECS basis forced to zero coupling (scaling = 0), the band
+    shape must equal the sum of independent Voigt lines."""
+    lines = o2_like_lines(3)
+    ecs0 = dict(scaling=0.0, beta=0.567, lam=0.39, collisional_distance=0.61e-10)
+    band = make_o2_band(lines, ecs=ecs0)
+    f = jnp.linspace(54e9, 67e9, 801)
+    T, P, vmr = 250.0, 5e4, 0.21
+    a_ecs = np.asarray(ecs_absorption(f, band, PF, 0, T, P, vmr))
+
+    cat = build_catalog([
+        dict(
+            f0=l["f0"], a=l["a"], e0=l["e0"], gu=l["gu"], gl=1.0,
+            iso_mass=31.98983, iso_ratio=1.0, spec_idx=0, iso_idx=0,
+            band_idx=0, t0=296.0, cutoff=np.inf,
+            ls={"bath": {"G0": (Law.T1, [l["g0"][0], l["g0"][1]])}},
+        )
+        for l in lines
+    ])
+    a_ref = np.asarray(
+        absorption(f, cat, PF, T, P, jnp.asarray([vmr]),
+                   no_negative_absorption=False)
+    )
+    rel = np.abs(a_ecs - a_ref) / a_ref.max()
+    assert rel.max() < 2e-3  # Voigt-of-equivalent-lines discretization
+
+
+def test_mixing_conserves_area_and_narrows_band():
+    lines = o2_like_lines(3)
+    band_mix = make_o2_band(lines)  # Makarov2020 coupling
+    ecs0 = dict(scaling=0.0, beta=0.567, lam=0.39, collisional_distance=0.61e-10)
+    band0 = make_o2_band(lines, ecs=ecs0)
+    f = jnp.linspace(40e9, 80e9, 2001)
+    T, P, vmr = 250.0, 8e4, 0.21
+    a_mix = np.asarray(ecs_absorption(f, band_mix, PF, 0, T, P, vmr))
+    a_0 = np.asarray(ecs_absorption(f, band0, PF, 0, T, P, vmr))
+    assert np.all(np.isfinite(a_mix))
+    # line mixing conserves the integrated band intensity (trace identity
+    # sum_k eqv_str_k = sum_i pop_i dip_i^2); divide out the f-dependent
+    # radiation-field factor ~ f*expm1(-hf/kT) before integrating so the
+    # redistribution across the band doesn't alias into the area
+    # (wide grid: the uncoupled band's Lorentz wings carry ~4% of the area
+    # beyond +-20 GHz, while the mixed band's sub-Lorentzian wings don't)
+    fw = jnp.linspace(1e9, 400e9, 20001)
+    aw_mix = np.asarray(ecs_absorption(fw, band_mix, PF, 0, T, P, vmr))
+    aw_0 = np.asarray(ecs_absorption(fw, band0, PF, 0, T, P, vmr))
+    h_k = 6.62607015e-34 / 1.380649e-23
+    w_rad = np.asarray(fw) * -np.expm1(-h_k * np.asarray(fw) / T)
+    area_mix = np.trapezoid(aw_mix / w_rad, np.asarray(fw))
+    area_0 = np.trapezoid(aw_0 / w_rad, np.asarray(fw))
+    np.testing.assert_allclose(area_mix, area_0, rtol=1e-2)
+    # and transfers intensity toward the band center (narrowing): the
+    # far wings lose absorption relative to the uncoupled band
+    wing = (np.asarray(f) < 45e9) | (np.asarray(f) > 75e9)
+    assert a_mix[wing].sum() < a_0[wing].sum()
+    # the mixing effect is a real, percent-level change
+    assert np.abs(a_mix - a_0).max() / a_0.max() > 0.005
+
+
+def test_ecs_jacobian_finite_and_matches_fd():
+    """d(absorption)/dT through the whole eigen chain (the reference has no
+    ECS Jacobian at all — lbl_lineshape_voigt_ecs.cpp:57 FIXME)."""
+    import jax
+
+    lines = o2_like_lines(2)
+    band = make_o2_band(lines)
+    f = jnp.linspace(55e9, 65e9, 41)
+    P, vmr = 8e4, 0.21
+
+    def fn(T):
+        return ecs_absorption(f, band, PF, 0, T, P, vmr)
+
+    g = np.asarray(jax.jacfwd(fn)(250.0))
+    assert np.all(np.isfinite(g))
+    dT = 0.05
+    fd = (np.asarray(fn(250.0 + dT)) - np.asarray(fn(250.0 - dT))) / (2 * dT)
+    np.testing.assert_allclose(g, fd, rtol=2e-4, atol=np.abs(fd).max() * 1e-6)

@@ -163,11 +163,14 @@ def disort(
     phis: tuple = (),
     fast_linalg: bool = False,
     intensity_correction: bool = False,
+    brdf=None,
 ) -> DisortOutput:
     """Solve one plane-parallel RT problem (vmap over frequency outside).
 
     mu0/phi0/phis are static geometry (host-side scene setup); all
-    DisortInput fields are traced.
+    DisortInput fields are traced.  brdf: optional SurfaceBrdf
+    (disort/brdf.py) replacing the Lambertian inp.albedo surface; its
+    bem scales inp.b_surf (surface emission) for mode 0.
     """
     Lr = inp.tau.shape[-1]
     N = nquad // 2
@@ -280,14 +283,36 @@ def disort(
 
     # ---- boundary conditions ----
     b_neg = m0mask[:, 0, :] * (inp.fisot + inp.b_top) * jnp.ones((M, N), dtype)
-    Rsurf = 2.0 * inp.albedo * jnp.ones((N, 1), dtype) * (w * mu)[None, :]
-    rhs_surf0 = (1.0 - inp.albedo) * inp.b_surf * jnp.ones((N,), dtype)
-    if has_beam:
-        rhs_surf0 = rhs_surf0 + (
-            inp.albedo * mu0 * inp.fbeam * ebea[-1] / jnp.pi
-        ) * jnp.ones((N,), dtype)
-    rhs_surf = m0mask[:, 0, :] * rhs_surf0[None, :]
-    Rsurf_m = m0mask[:, :, :1] * Rsurf[None]  # [M,N,N], zero for m > 0
+    if brdf is None:
+        Rsurf = 2.0 * inp.albedo * jnp.ones((N, 1), dtype) * (w * mu)[None, :]
+        rhs_surf0 = (1.0 - inp.albedo) * inp.b_surf * jnp.ones((N,), dtype)
+        if has_beam:
+            rhs_surf0 = rhs_surf0 + (
+                inp.albedo * mu0 * inp.fbeam * ebea[-1] / jnp.pi
+            ) * jnp.ones((N,), dtype)
+        rhs_surf = m0mask[:, 0, :] * rhs_surf0[None, :]
+        Rsurf_m = m0mask[:, :, :1] * Rsurf[None]  # [M,N,N], zero for m > 0
+    else:
+        # per-Fourier-mode bidirectional reflection (cdisort c_setmtx:
+        # LHS (1+delm0) sum_j w_j mu_j BDR_m(i,j); beam BDR_m(i,0) mu0
+        # fbeam/pi; emissivity bem for the mode-0 thermal term)
+        nb = min(brdf.bdr.shape[0], M)
+        one_delm0 = 1.0 + (jnp.arange(nb) == 0).astype(dtype)  # cdisort
+        Rs = (
+            one_delm0[:, None, None]
+            * brdf.bdr[:nb].astype(dtype)
+            * (w * mu)[None, None, :]
+        )
+        Rsurf_m = jnp.concatenate(
+            [Rs, jnp.zeros((M - nb, N, N), dtype)], 0
+        )
+        rhs_surf = jnp.zeros((M, N), dtype)
+        rhs_surf = rhs_surf.at[0].add(brdf.bem.astype(dtype) * inp.b_surf)
+        if has_beam:
+            rhs_surf = rhs_surf.at[:nb].add(
+                brdf.bdr_beam[:nb].astype(dtype)
+                * (mu0 * inp.fbeam * ebea[-1] / jnp.pi)
+            )
 
     GpE = Gp * Ek[..., None, :]
     GmE = Gm * Ek[..., None, :]

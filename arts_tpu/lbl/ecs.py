@@ -154,10 +154,40 @@ def makarov_reduced_dipole(Ju, Jl, N):
 # Band construction (host) + traced evaluation
 # ---------------------------------------------------------------------------
 
-# Makarov2020 air coefficients (m_linemixing.cc:70-90)
+# ECS datasets (m_linemixing.cc:70-135). Each coefficient is a T1 law
+# (x0, n) evaluated as x0 * (T0/T)^n; a constant (T0 law) has n = 0.
+_KAYCM_ATM = 2.99792458e10 / 101325.0  # kaycm_per_atm -> Hz/Pa
+
 MAKAROV2020_AIR = dict(
-    scaling=1.0, beta=0.567, lam=0.39, collisional_distance=0.61e-10
+    scaling=(1.0, 0.0), beta=(0.567, 0.0), lam=(0.39, 0.0),
+    collisional_distance=0.61e-10,
 )
+RODRIGUES1997_N2 = dict(
+    scaling=(0.0180 * _KAYCM_ATM, 0.85), beta=(0.008, 0.0),
+    lam=(0.81, 0.0152), collisional_distance=2.2e-10,
+)
+RODRIGUES1997_O2 = dict(
+    scaling=(0.0168 * _KAYCM_ATM, 0.5), beta=(0.007, 0.0),
+    lam=(0.82, -0.091), collisional_distance=2.4e-10,
+)
+TRAN2011_CO2 = dict(
+    scaling=(0.019 * _KAYCM_ATM, 0.0), beta=(0.052, 0.0),
+    lam=(0.61, 0.0), collisional_distance=5.5e-10,
+)
+
+# CO2-626 rotational energy B * J(J+1)
+# (lbl_lineshape_voigt_ecs_hartmann.cpp:38 erot_selection)
+def co2_erot(J):
+    return 0.39021 * 2.99792458e10 * const.h * J * (J + 1.0)
+
+
+def linear_reduced_dipole(Jf, Ji, lf=0.0, li=0.0, k=1.0):
+    """Signed reduced dipole of a linear-molecule line
+    (lbl_lineshape_voigt_ecs_hartmann.cpp reduced_dipole)."""
+    sign = 1.0 if (Jf + lf + 1) % 2 == 0 else -1.0
+    return sign * math.sqrt(2.0 * Jf + 1.0) * wigner3j(
+        Jf, k, Ji, li, lf - li, -lf
+    )
 
 
 @jax.tree_util.register_dataclass
@@ -183,10 +213,15 @@ class EcsBand:
     Lvals: jax.Array  # [NL] basis L values
     mass: jax.Array  # molecular mass [g/mol]
     mass_other: jax.Array  # perturber mass [g/mol]
-    scaling: jax.Array
-    beta: jax.Array
-    lam: jax.Array
+    scaling: jax.Array  # [2] T1 law (x0, n)
+    beta: jax.Array  # [2]
+    lam: jax.Array  # [2]
     dc: jax.Array  # collisional distance [m]
+    # Hartmann-type bands place the directly-computed element at W[j, i]
+    # (lbl_lineshape_voigt_ecs_hartmann.cpp:148); Makarov at W[i, j]
+    direct_at_ji: bool = dataclasses.field(
+        default=False, metadata=dict(static=True)
+    )
 
 
 def make_o2_band(lines, ecs=MAKAROV2020_AIR, mass=31.98983, mass_other=28.96):
@@ -269,19 +304,115 @@ def make_o2_band(lines, ecs=MAKAROV2020_AIR, mass=31.98983, mass_other=28.96):
         t0=j_(T0), geo=j_(geo), mask_direct=j_(mask),
         ni=j_(Nu.astype(np.int32)), erot_L=j_(erot_L), erot_Lm2=j_(erot_Lm2),
         Lvals=j_(Lall.astype(np.float64)), mass=j_(mass),
-        mass_other=j_(mass_other), scaling=j_(ecs["scaling"]),
-        beta=j_(ecs["beta"]), lam=j_(ecs["lam"]),
-        dc=j_(ecs["collisional_distance"]),
+        mass_other=j_(mass_other),
+        scaling=j_(_law2(ecs["scaling"])), beta=j_(_law2(ecs["beta"])),
+        lam=j_(_law2(ecs["lam"])), dc=j_(ecs["collisional_distance"]),
+    )
+
+
+def _law2(v):
+    """(x0, n) array from a scalar (T0 law) or a pair (T1 law)."""
+    a = np.asarray(v, dtype=float)
+    return a if a.ndim else np.array([float(a), 0.0])
+
+
+def make_linear_band(lines, ecs=TRAN2011_CO2, li=0.0, lf=0.0,
+                     erot_fn=co2_erot, mass=43.98983, mass_other=43.98983):
+    """Build an EcsBand for a linear-molecule (CO2-like) band.
+
+    lines: dicts with f0 [Hz], a, e0 [J], gu, Ji (upper J), Jf (lower J),
+    g0=(x0, n), optional d0, t0.  li/lf: vibrational angular momenta of
+    the upper/lower states.  Parity:
+    lbl_lineshape_voigt_ecs_hartmann.cpp relaxation_matrix_offdiagonal
+    (geometry, the Jf_p <= Jf direct triangle with last-write tie
+    resolution, and the W[j, i] direct placement).
+    """
+    n = len(lines)
+    T0 = lines[0].get("t0", 296.0)
+    kB = const.k
+
+    f0 = np.array([l["f0"] for l in lines])
+    e0 = np.array([l["e0"] for l in lines])
+    gu = np.array([l["gu"] for l in lines])
+    a = np.array([l["a"] for l in lines])
+    Ji = np.array([l["Ji"] for l in lines], dtype=float)
+    Jf = np.array([l["Jf"] for l in lines], dtype=float)
+
+    dipr = np.array(
+        [linear_reduced_dipole(Jf[i], Ji[i], lf, li) for i in range(n)]
+    )
+    dip = 0.5 * const.c * np.sqrt(a / (f0**3 * 2.0 * np.pi))
+    dip *= np.where(dipr < 0, -1.0, 1.0)
+
+    pop0 = gu * np.exp(-e0 / (kB * T0))
+    order = np.argsort(-(f0 * pop0 * dip**2))
+    f0, e0, gu, a, dip, dipr = (
+        arr[order] for arr in (f0, e0, gu, a, dip, dipr)
+    )
+    Ji, Jf = Ji[order], Jf[order]
+    g0_x0 = np.array([lines[i]["g0"][0] for i in order])
+    g0_n = np.array([lines[i]["g0"][1] for i in order])
+    d0_x0 = np.array([lines[i].get("d0", (0.0, 0.0))[0] for i in order])
+    d0_n = np.array([lines[i].get("d0", (0.0, 0.0))[1] for i in order])
+
+    maxL = int(2 * max(Ji.max(), Jf.max()) + 4)
+    Lall = np.arange(maxL)
+    erot_L = np.array([erot_fn(float(L)) for L in Lall])
+    erot_Lm2 = np.array([erot_fn(float(max(L - 2, 0))) if L >= 2
+                         else erot_fn(0.0) for L in Lall])
+
+    geo = np.zeros((n, n, maxL))
+    mask = np.zeros((n, n), dtype=bool)
+    for i in range(n):
+        for j in range(n):
+            if i == j:
+                continue
+            # direct triangle Jf_p <= Jf; equal Jf resolved by the C loop
+            # order (the larger outer index writes last)
+            if not (Jf[j] < Jf[i] or (Jf[j] == Jf[i] and j < i)):
+                continue
+            mask[i, j] = True
+            scl = (2.0 * Ji[j] + 1.0) * math.sqrt(
+                (2.0 * Jf[i] + 1.0) * (2.0 * Jf[j] + 1.0)
+            )
+            L0 = int(max(abs(Ji[i] - Ji[j]), abs(Jf[i] - Jf[j])))
+            L0 += L0 % 2
+            L0 = max(L0, 2)
+            Lend = int(min(Ji[i] + Ji[j], Jf[i] + Jf[j]))
+            for L in range(L0, min(Lend, maxL - 1) + 1, 2):
+                aa = wigner3j(Ji[i], Ji[j], L, li, -li, 0.0)
+                if aa == 0.0:
+                    continue
+                bb = wigner3j(Jf[i], Jf[j], L, lf, -lf, 0.0)
+                cc = wigner6j(Ji[i], Jf[i], 1.0, Jf[j], Ji[j], L)
+                geo[i, j, L] = scl * aa * bb * cc * (2 * L + 1)
+
+    j_ = jnp.asarray
+    return EcsBand(
+        f0=j_(f0), e0=j_(e0), gu=j_(gu), dip=j_(dip), dipr=j_(dipr),
+        g0_x0=j_(g0_x0), g0_n=j_(g0_n), d0_x0=j_(d0_x0), d0_n=j_(d0_n),
+        t0=j_(T0), geo=j_(geo), mask_direct=j_(mask),
+        ni=j_(Ji.astype(np.int32)), erot_L=j_(erot_L),
+        erot_Lm2=j_(erot_Lm2), Lvals=j_(Lall.astype(np.float64)),
+        mass=j_(mass), mass_other=j_(mass_other),
+        scaling=j_(_law2(ecs["scaling"])), beta=j_(_law2(ecs["beta"])),
+        lam=j_(_law2(ecs["lam"])), dc=j_(ecs["collisional_distance"]),
+        direct_at_ji=True,
     )
 
 
 def _basis_QOm(band: EcsBand, T):
-    """ECS basis Q(L, T) and Omega(L, T) (lbl_lineshape_linemixing.cpp)."""
+    """ECS basis Q(L, T) and Omega(L, T) (lbl_lineshape_linemixing.cpp);
+    scaling/beta/lambda are T1 laws x0 * (T0/T)^n."""
+    tr = band.t0 / T
+    scaling = band.scaling[0] * tr ** band.scaling[1]
+    beta = band.beta[0] * tr ** band.beta[1]
+    lam = band.lam[0] * tr ** band.lam[1]
     L = band.Lvals
     Q = (
-        jnp.exp(-band.beta * band.erot_L / (const.k * T))
-        * band.scaling
-        / jnp.maximum(L * (L + 1.0), 1.0) ** band.lam
+        jnp.exp(-beta * band.erot_L / (const.k * T))
+        * scaling
+        / jnp.maximum(L * (L + 1.0), 1.0) ** lam
     )
     wnnm2 = (band.erot_L - band.erot_Lm2) / const.h_bar
     inv_eff_mass = 1.0 / band.mass + 1.0 / band.mass_other
@@ -314,8 +445,12 @@ def ecs_absorption(f_grid, band: EcsBand, pf, iso_idx, T, P, vmr_self, iso_ratio
     contr = jnp.einsum("ijl,l->ij", band.geo, Qb / jnp.maximum(Om, 1e-300))
     W0 = Om[band.ni][:, None] * contr * band.mask_direct
     bal = jnp.exp((band.e0[:, None] - band.e0[None, :]) / kT)  # [i, j]
-    # W[j,i] = W[i,j] * exp((e_j - e_i)/kT): transpose of the direct part
-    W = W0 + (W0 * bal.T).T + jnp.diag(G0)
+    if band.direct_at_ji:
+        # Hartmann: direct element at W[j, i], LTE partner at W[i, j]
+        W = W0.T + W0 * bal.T + jnp.diag(G0)
+    else:
+        # Makarov: direct at W[i, j], partner W[j,i] = W[i,j] e^{(ej-ei)/kT}
+        W = W0 + (W0 * bal.T).T + jnp.diag(G0)
 
     # sum-rule renormalization (sequential, reference :219-247; the j <= i
     # sum includes the pressure-scaled diagonal)

@@ -31,6 +31,8 @@ def eig_comp_sym(A, sweeps: int = 12):
     n = A.shape[-1]
     batch = A.shape[:-2]
     dtype = A.dtype
+    if n == 1:  # trivial band: no rotations
+        return A[..., 0, 0][..., None], jnp.ones(batch + (1, 1), dtype)
     rounds = _tournament(n)
     npairs = max(len(r) for r in rounds)
     pad = any(len(r) < npairs for r in rounds)

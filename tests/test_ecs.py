@@ -157,3 +157,81 @@ def test_ecs_jacobian_finite_and_matches_fd():
     dT = 0.05
     fd = (np.asarray(fn(250.0 + dT)) - np.asarray(fn(250.0 - dT))) / (2 * dT)
     np.testing.assert_allclose(g, fd, rtol=2e-4, atol=np.abs(fd).max() * 1e-6)
+
+
+def co2_like_lines(nJ=8):
+    """Synthetic CO2 nu3-like P/R branch: lines R(J): Ji=J+1<-Jf=J and
+    P(J): Ji=J-1<-Jf=J around 2349 cm-1 (~70.4 THz), B=0.39 cm-1."""
+    from arts_tpu.lbl.ecs import co2_erot
+
+    nu0 = 70.4e12
+    B2 = 0.39021 * 2.99792458e10  # B in Hz
+    lines = []
+    for J in range(0, nJ):
+        # R branch: f = nu0 + 2B(J+1)
+        lines.append(dict(
+            f0=nu0 + 2 * B2 * (J + 1), a=1e-6 / (J + 1), e0=co2_erot(J),
+            gu=2.0 * (J + 1) + 1.0, Ji=float(J + 1), Jf=float(J),
+            g0=(1.6e4, 0.7), t0=296.0))
+        if J >= 1:
+            lines.append(dict(
+                f0=nu0 - 2 * B2 * J, a=1e-6 / (J + 1), e0=co2_erot(J),
+                gu=2.0 * (J - 1) + 1.0, Ji=float(J - 1), Jf=float(J),
+                g0=(1.6e4, 0.7), t0=296.0))
+    return lines
+
+
+def test_co2_no_coupling_limit():
+    from arts_tpu.lbl.ecs import make_linear_band, TRAN2011_CO2
+
+    lines = co2_like_lines(6)
+    ecs0 = dict(TRAN2011_CO2, scaling=(0.0, 0.0))
+    band = make_linear_band(lines, ecs=ecs0)
+    f = jnp.linspace(70.0e12, 70.9e12, 1501)
+    T, P, vmr = 250.0, 5e4, 4e-4
+    a_ecs = np.asarray(ecs_absorption(f, band, PF, 0, T, P, vmr))
+
+    cat = build_catalog([
+        dict(f0=l["f0"], a=l["a"], e0=l["e0"], gu=l["gu"], gl=1.0,
+             iso_mass=43.98983, iso_ratio=1.0, spec_idx=0, iso_idx=0,
+             band_idx=0, t0=296.0, cutoff=np.inf,
+             ls={"bath": {"G0": (Law.T1, [l["g0"][0], l["g0"][1]])}})
+        for l in lines])
+    a_ref = np.asarray(absorption(f, cat, PF, T, P, jnp.asarray([vmr]),
+                                  no_negative_absorption=False))
+    assert np.abs(a_ecs - a_ref).max() / a_ref.max() < 2e-3
+
+
+def test_co2_mixing_sub_lorentzian_wings():
+    """Tran2011 CO2 self-mixing: conserved band area and reduced far-wing
+    absorption (the classic CO2 sub-Lorentzian signature)."""
+    from arts_tpu.lbl.ecs import make_linear_band, TRAN2011_CO2
+
+    lines = co2_like_lines(6)
+    band_m = make_linear_band(lines, ecs=TRAN2011_CO2)
+    band_0 = make_linear_band(lines, ecs=dict(TRAN2011_CO2, scaling=(0.0, 0.0)))
+    T, P, vmr = 250.0, 1.013e5, 1.0
+    fw = jnp.linspace(69.5e12, 71.5e12, 8001)
+    am = np.asarray(ecs_absorption(fw, band_m, PF, 0, T, P, vmr))
+    a0 = np.asarray(ecs_absorption(fw, band_0, PF, 0, T, P, vmr))
+    assert np.all(np.isfinite(am))
+    h_k = 6.62607015e-34 / 1.380649e-23
+    w_rad = np.asarray(fw) * -np.expm1(-h_k * np.asarray(fw) / T)
+    np.testing.assert_allclose(
+        np.trapezoid(am / w_rad, np.asarray(fw)),
+        np.trapezoid(a0 / w_rad, np.asarray(fw)), rtol=1e-2)
+    wing = (np.asarray(fw) < 70.05e12) | (np.asarray(fw) > 70.95e12)
+    assert am[wing].sum() < a0[wing].sum()
+    assert np.abs(am - a0).max() / a0.max() > 0.005
+
+
+def test_rodrigues_coefficients_load():
+    from arts_tpu.lbl.ecs import (RODRIGUES1997_N2, RODRIGUES1997_O2,
+                                  make_linear_band)
+
+    lines = co2_like_lines(4)
+    for ecs in (RODRIGUES1997_N2, RODRIGUES1997_O2):
+        band = make_linear_band(lines, ecs=ecs, mass_other=28.0)
+        a = np.asarray(ecs_absorption(
+            jnp.linspace(70.2e12, 70.7e12, 301), band, PF, 0, 220.0, 3e4, 4e-4))
+        assert np.all(np.isfinite(a)) and a.max() > 0

@@ -109,6 +109,81 @@ def _eigen(Pp, Pm, omega, mu, w, fast_linalg=False):
     return k, Gp, Gm
 
 
+def _solve_block_tridiag_structured(Gp, Gm, Ek, rhs, Rsurf, fast_linalg=False):
+    """DISORT-specialized block-tridiagonal Thomas elimination.
+
+    Exploits the BVP block structure: the sub-diagonal block of layer l is
+    S' U_{l-1} (A rows only, U = [GmE, Gp]) and the super-diagonal is
+    S T_{l+1} (B rows only, T = -[Gp, GmE]), so the forward elimination
+    needs only the rank-N carries W = U P and uy = U y with P = D'^-1 S.
+    Per layer this streams 2 N^2 inputs + stores a [2N, N] factor instead
+    of materializing three [2N, 2N] blocks (the old assembly moved ~4x
+    more HBM per layer and dominated the DISORT step time on TPU).
+
+    Gp, Gm: [L, ..., N, N]; Ek: [L, ..., N]; rhs: [L, ..., 2N];
+    Rsurf: [..., N, N] surface reflection operator (last layer's B rows).
+    Returns X: [L, ..., 2N].
+    """
+    Lr = Gp.shape[0]
+    N = Gp.shape[-1]
+    batch = Gp.shape[1:-2]
+    dtype = Gp.dtype
+    S_mat = jnp.broadcast_to(
+        jnp.concatenate(
+            [jnp.zeros((N, N), dtype), jnp.eye(N, dtype=dtype)], 0
+        ),
+        batch + (2 * N, N),
+    )
+    idx = jnp.arange(Lr)
+
+    def fwd(carry, inp):
+        Wprev, uyprev = carry
+        Gp_l, Gm_l, Ek_l, r_l, l = inp
+        GpE = Gp_l * Ek_l[..., None, :]
+        GmE = Gm_l * Ek_l[..., None, :]
+        U = jnp.concatenate([GmE, Gp_l], -1)  # [..., N, 2N]
+        T = -jnp.concatenate([Gp_l, GmE], -1)
+        sgn = jnp.where(l == 0, 1.0, -1.0).astype(dtype)
+        is_last = (l == Lr - 1).astype(dtype)
+        RU = jnp.einsum("...ij,...jk->...ik", Rsurf, U)
+        Arows = sgn * jnp.concatenate([Gm_l, GpE], -1) - jnp.einsum(
+            "...ij,...jk->...ik", Wprev, T
+        )
+        Brows = jnp.concatenate([GpE, Gm_l], -1) - is_last * RU
+        D = jnp.concatenate([Arows, Brows], -2)
+        rmod = r_l.at[..., :N].add(-uyprev)
+        stacked = jnp.concatenate([S_mat, rmod[..., None]], -1)
+        sol = (
+            solve_unrolled(D, stacked)
+            if fast_linalg
+            else jnp.linalg.solve(D, stacked)
+        )
+        P = sol[..., :N]
+        y = sol[..., N]
+        W = jnp.einsum("...ij,...jk->...ik", U, P)
+        uy = jnp.einsum("...ij,...j->...i", U, y)
+        return (W, uy), (P, y)
+
+    W0 = jnp.zeros(batch + (N, N), dtype)
+    uy0 = jnp.zeros(batch + (N,), dtype)
+    _, (Ps, ys) = jax.lax.scan(fwd, (W0, uy0), (Gp, Gm, Ek, rhs, idx))
+
+    def bwd(t, inp):
+        P_l, y_l, Gp_l, Gm_l, Ek_l = inp
+        X = y_l - jnp.einsum("...ij,...j->...i", P_l, t)
+        GmE = Gm_l * Ek_l[..., None, :]
+        tnew = -jnp.einsum(
+            "...ij,...j->...i", jnp.concatenate([Gp_l, GmE], -1), X
+        )
+        return tnew, X
+
+    _, Xs = jax.lax.scan(
+        bwd, jnp.zeros(batch + (N,), dtype), (Ps, ys, Gp, Gm, Ek),
+        reverse=True,
+    )
+    return Xs
+
+
 def _solve_block_tridiag(Adn, Adiag, Aup, rhs, fast_linalg=False):
     """Thomas elimination for Adn[l] X[l-1] + Adiag[l] X[l] + Aup[l] X[l+1] = rhs[l].
 
@@ -331,13 +406,6 @@ def disort(
     # l = 0: Gm_0 C+_0 + GpE_0 C-_0 = b_neg - vp_top_0
     # l >= 1: GmE_{l-1}C+_{l-1} + Gp_{l-1}C-_{l-1} - Gm_l C+_l - GpE_l C-_l = dv_l
     #   dv_l = vp_top[l] - vp_bot[l-1]
-    A_dn = jnp.concatenate(
-        [jnp.zeros((M, 1, N, 2 * N), dtype),
-         jnp.concatenate([GmE[:, :-1], Gp[:, :-1]], -1)], 1
-    )  # on X_{l-1}
-    A_diag_first = jnp.concatenate([Gm[:, :1], GpE[:, :1]], -1)
-    A_diag_rest = jnp.concatenate([-Gm[:, 1:], -GpE[:, 1:]], -1)
-    A_diag = jnp.concatenate([A_diag_first, A_diag_rest], 1)  # on X_l
     A_rhs = jnp.concatenate(
         [
             (b_neg - vp_top[:, 0])[:, None],
@@ -350,22 +418,6 @@ def disort(
     # l <= L-2: GpE_l C+_l + Gm_l C-_l - Gp_{l+1}C+_{l+1} - GmE_{l+1}C-_{l+1}
     #   = du_{l+1} = up_top[l+1] - up_bot[l]
     # l = L-1: (GpE - R GmE) C+ + (Gm - R Gp) C- = rhs_surf - up_bot + R vp_bot
-    RGmE = jnp.einsum("mij,mljk->mlik", Rsurf_m, GmE[:, -1:])
-    RGp = jnp.einsum("mij,mljk->mlik", Rsurf_m, Gp[:, -1:])
-    B_diag = jnp.concatenate(
-        [
-            jnp.concatenate([GpE[:, :-1], Gm[:, :-1]], -1),
-            jnp.concatenate([GpE[:, -1:] - RGmE, Gm[:, -1:] - RGp], -1),
-        ],
-        1,
-    )  # on X_l
-    B_up = jnp.concatenate(
-        [
-            jnp.concatenate([-Gp[:, 1:], -GmE[:, 1:]], -1),
-            jnp.zeros((M, 1, N, 2 * N), dtype),
-        ],
-        1,
-    )  # on X_{l+1}
     B_rhs = jnp.concatenate(
         [
             up_top[:, 1:] - up_bot[:, :-1],
@@ -378,17 +430,17 @@ def disort(
         1,
     )
 
-    Adn = jnp.concatenate([A_dn, jnp.zeros((M, Lr, N, 2 * N), dtype)], -2)
-    Adiag = jnp.concatenate([A_diag, B_diag], -2)
-    Aup = jnp.concatenate([jnp.zeros((M, Lr, N, 2 * N), dtype), B_up], -2)
     rhs = jnp.concatenate([A_rhs, B_rhs], -1)
 
-    # scan over layers: move layer axis first
-    X = _solve_block_tridiag(
-        jnp.moveaxis(Adn, 1, 0),
-        jnp.moveaxis(Adiag, 1, 0),
-        jnp.moveaxis(Aup, 1, 0),
+    # scan over layers with in-scan block assembly (see
+    # _solve_block_tridiag_structured: streams Gp/Gm/Ek instead of
+    # materialized [L, 2N, 2N] blocks)
+    X = _solve_block_tridiag_structured(
+        jnp.moveaxis(Gp, 1, 0),
+        jnp.moveaxis(Gm, 1, 0),
+        jnp.moveaxis(Ek, 1, 0),
         jnp.moveaxis(rhs, 1, 0),
+        Rsurf_m,
         fast_linalg,
     )  # [L, M, 2N]
     Cp = jnp.moveaxis(X[..., :N], 0, 1)  # [M, L, N]

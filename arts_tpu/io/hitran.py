@@ -60,13 +60,21 @@ class HitranRecord:
     g_low: float
     q_upper: str
     q_lower: str
+    q_local_upper: str = ""
+    q_local_lower: str = ""
 
 
 def parse_par_line(line: str) -> HitranRecord:
     mol = int(line[0:2])
     iso_ch = line[2]
     iso = int(iso_ch, 36) if not iso_ch.isdigit() else int(iso_ch)  # 'A' = 10
+    if mol not in HITRAN_MOLECULES:
+        raise KeyError(
+            f"unknown HITRAN molecule number {mol} (extend HITRAN_MOLECULES)"
+        )
     spec, isos = HITRAN_MOLECULES[mol]
+    if not 1 <= iso <= len(isos):
+        raise KeyError(f"unknown isotopologue {iso} for {spec}")
     isot = f"{spec}-{isos[iso - 1]}"
     return HitranRecord(
         isotopologue=isot,
@@ -82,7 +90,61 @@ def parse_par_line(line: str) -> HitranRecord:
         g_low=float(line[153:160]),
         q_upper=line[67:82].strip(),
         q_lower=line[82:97].strip(),
+        q_local_upper=line[97:112],
+        q_local_lower=line[112:127],
     )
+
+
+_BRANCH = {"O": -2, "P": -1, "Q": 0, "R": 1, "S": 2}
+
+
+def parse_o2_local_quanta(rec: HitranRecord):
+    """(Nu, Nl, Ju, Jl) from the O2 .par local lower quanta.
+
+    HITRAN group-2 format for O2 Q'': [dN-branch][N''] [dJ-branch][J'']
+    (e.g. " Q  3 Q  4"); N' = N'' + dN, J' = J'' + dJ.  Returns None if
+    the field does not parse (non-O2 or unusual tagging).
+    """
+    import re
+
+    m = re.findall(r"([OPQRS])\s*(\d+)", rec.q_local_lower)
+    if len(m) < 2:
+        return None
+    (bn, nl), (bj, jl) = m[0], m[1]
+    Nl, Jl = float(nl), float(jl)
+    return Nl + _BRANCH[bn], Nl, Jl + _BRANCH[bj], Jl
+
+
+def o2_lines_from_par(records, pf_Q296, iso_abundance=0.995262,
+                      zeeman=True):
+    """O2-66 line dicts for lbl.ecs.make_o2_band (and Zeeman g's) from
+    parsed .par records.  Skips records whose quanta do not parse.
+
+    Returns (lines, gus, gls): make_o2_band inputs plus per-line Lande
+    g's from the advanced O2 model (lbl_zeeman.cpp GetAdvancedModel)."""
+    from ..lbl.zeeman_g import o2_line_g
+
+    lines, gus, gls = [], [], []
+    for r in records:
+        if not r.isotopologue.startswith("O2-66"):
+            continue
+        qn = parse_o2_local_quanta(r)
+        if qn is None:
+            continue
+        Nu, Nl, Ju, Jl = qn
+        a = r.A if r.A > 0 else einstein_a_from_s(
+            r.S, r.g_upp, r.e0, r.f0, pf_Q296, iso_abundance
+        )
+        lines.append(dict(
+            f0=r.f0, a=a, e0=r.e0, gu=r.g_upp,
+            Ju=Ju, Jl=Jl, Nu=Nu, Nl=Nl,
+            g0=(r.gamma_air, r.n_air), d0=(r.delta_air, 0.0), t0=296.0,
+        ))
+        if zeeman:
+            gu, gl = o2_line_g(Ju, Jl, Nu, Nl)
+            gus.append(gu)
+            gls.append(gl)
+    return lines, gus, gls
 
 
 def einstein_a_from_s(S, gu, e0, f0, Q296, iso_abundance):
@@ -102,6 +164,26 @@ def einstein_a_from_s(S, gu, e0, f0, Q296, iso_abundance):
             * (const.c / f0) ** 2
         )
     )
+
+
+def read_par_records(path_or_lines, fmin=0.0, fmax=np.inf):
+    """Parse a .par file (or list of rows) into HitranRecords."""
+    if isinstance(path_or_lines, (list, tuple)):
+        rows = path_or_lines
+    else:
+        with open(path_or_lines) as fh:
+            rows = fh.readlines()
+    out = []
+    for row in rows:
+        if len(row.rstrip("\n")) < 120:
+            continue
+        try:
+            r = parse_par_line(row)
+        except KeyError:  # molecule/isotopologue outside the registry
+            continue
+        if fmin <= r.f0 <= fmax:
+            out.append(r)
+    return out
 
 
 def read_par(
@@ -127,7 +209,10 @@ def read_par(
     for row in rows:
         if len(row.rstrip("\n")) < 120:
             continue
-        r = parse_par_line(row)
+        try:
+            r = parse_par_line(row)
+        except KeyError:
+            continue
         if not (fmin <= r.f0 <= fmax):
             continue
         meta = ISOTOPOLOGUES.get(r.isotopologue)

@@ -115,3 +115,50 @@ def test_xml_writer_roundtrip(tmp_path):
             np.testing.assert_allclose(back[1], val[1])
         else:
             assert back == val
+
+
+def test_o2_local_quanta_and_zeeman_g():
+    """Local-quanta parsing + the advanced O2 Lande-g model
+    (lbl_zeeman.cpp GetAdvancedModel / case_b_g_coefficient_o2)."""
+    from arts_tpu.io.hitran import (HitranRecord, parse_o2_local_quanta,
+                                    o2_lines_from_par, parse_par_line)
+    from arts_tpu.lbl.zeeman_g import o2_advanced_g, simple_g_case_b
+
+    # synthetic 160-char .par line with exact field widths
+    line = (
+        f"{7:2d}"          # mol = O2
+        + "1"              # iso
+        + f"{2.011594:12.6f}"   # nu [cm-1]
+        + f"{1.0e-30:10.3E}"    # S
+        + f"{1.0:10.3E}"        # A
+        + f"{0.0500:5.4f}"[:5]  # gamma_air
+        + f"{0.0500:5.4f}"[:5]  # gamma_self
+        + f"{1000.0:10.4f}"     # E'' [cm-1]
+        + f"{0.75:4.2f}"        # n_air
+        + f"{0.0:8.6f}"         # delta_air
+        + " " * 15 + " " * 15   # global quanta upper/lower
+        + " " * 15              # local upper
+        + "  Q  9  R  8   "     # local lower
+    ).ljust(146) + f"{19.0:7.1f}" + f"{17.0:7.1f}"
+    rec = parse_par_line(line.ljust(160))
+    qn = parse_o2_local_quanta(rec)
+    assert qn is not None
+    Nu, Nl, Ju, Jl = qn
+    assert (Nu, Nl, Ju, Jl) == (9.0, 9.0, 9.0, 8.0)
+
+    # advanced g close to the case-b simple model for O2 (S=1, Lambda=0)
+    for J, N in [(9.0, 9.0), (8.0, 9.0), (10.0, 9.0), (3.0, 3.0)]:
+        g_adv = o2_advanced_g(J, N)
+        g_simple = simple_g_case_b(N, J, 0.0, 1.0, species="O2")
+        assert abs(g_adv - g_simple) < 0.06, (J, N, g_adv, g_simple)
+    # J=N lines: g ~ GS/(J(J+1)) (positive, decreasing)
+    assert o2_advanced_g(3, 3) > o2_advanced_g(5, 5) > 0
+
+    # end-to-end: records -> make_o2_band inputs
+    recs = [rec]
+    lines_out, gus, gls = o2_lines_from_par(recs, pf_Q296=215.0)
+    assert len(lines_out) == 1 and len(gus) == 1
+    l = lines_out[0]
+    assert l["Nu"] == 9.0 and l["Jl"] == 8.0 and l["a"] == 1.0
+    assert l["gu"] == 19.0
+    assert np.isfinite(gus[0]) and np.isfinite(gls[0])

@@ -49,6 +49,9 @@ class ClearskyScene:
     species_names: tuple = dataclasses.field(
         metadata=dict(static=True), default=()
     )
+    # full-band ECS line-mixing bands: ((EcsBand, spec_idx, iso_idx,
+    # iso_ratio), ...); evaluated per path point like the line catalog
+    ecs_bands: tuple = ()
 
 
 @functools.partial(jax.jit, static_argnames=("background", "block"))
@@ -98,6 +101,10 @@ def simulate_clearsky(
 
             vmrs = {tag: v[i] for i, tag in enumerate(scene.species_names)}
             a = a + predefined_absorption(scene.predef, fg, t, p, vmrs)
+        for band, sidx, iidx, irat in scene.ecs_bands:
+            from .lbl.ecs import ecs_absorption
+
+            a = a + ecs_absorption(fg, band, scene.pf, iidx, t, p, v[sidx], irat)
         return a
 
     k = jax.vmap(point_abs)(pts.t, pts.p, pts.vmr, dshift)  # [np, F]

@@ -235,3 +235,35 @@ def test_rodrigues_coefficients_load():
         a = np.asarray(ecs_absorption(
             jnp.linspace(70.2e12, 70.7e12, 301), band, PF, 0, 220.0, 3e4, 4e-4))
         assert np.all(np.isfinite(a)) and a.max() > 0
+
+
+def test_ecs_band_in_clearsky_pipeline():
+    """An EcsBand attached to a ClearskyScene contributes the mixed O2
+    band to the simulated spectrum (fwd.py species dispatch)."""
+    import jax
+
+    from arts_tpu.atm.field import Atmosphere1D
+    from arts_tpu.fwd import ClearskyScene, simulate_clearsky_bt
+
+    lines = o2_like_lines(3)
+    band = make_o2_band(lines)
+    z = jnp.linspace(0.0, 30e3, 16)
+    atm = Atmosphere1D(
+        z=z, t=288.0 - 6.5e-3 * jnp.clip(z, 0, 11e3),
+        p=101325.0 * jnp.exp(-z / 7.5e3), vmr=jnp.full((1, 16), 0.2095),
+    )
+    scene = ClearskyScene(
+        atm=atm, cat=None, pf=PF,
+        ecs_bands=((band, 0, 0, 1.0),),
+    )
+    f = jnp.linspace(50e9, 70e9, 101)
+    alt = jnp.linspace(30e3, 0.0, 31)
+    dr = jnp.full(30, 1e3)
+    bt = np.asarray(simulate_clearsky_bt(scene, f, alt, dr,
+                                         background="surface"))
+    assert np.all(np.isfinite(bt))
+    # downlooking: the transparent window shows the warm surface; the
+    # optically-thick 60-GHz complex shows the colder mid-troposphere
+    i60 = np.argmin(np.abs(np.asarray(f) - 60.3e9))
+    assert 200.0 < bt[i60] < 265.0
+    assert bt[0] > bt[i60] and bt[0] > 280.0

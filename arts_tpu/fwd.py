@@ -111,17 +111,31 @@ def simulate_clearsky(
 
     J = planck(f_grid[None, :], pts.t[:, None])  # [np, F]
 
+    r = jnp.asarray(path_dr)
+    cmb = planck(
+        f_grid, jnp.asarray(const.cosmic_microwave_background_temperature)
+    ) * jnp.ones_like(f_grid)
     if background == "surface":
         b_surf = planck(f_grid, scene.surface_temperature)
         I0 = scene.surface_emissivity * b_surf + (
             1.0 - scene.surface_emissivity
-        ) * planck(f_grid, jnp.asarray(const.cosmic_microwave_background_temperature))
+        ) * cmb
+    elif background == "surface_reflect":
+        # Reflecting surface (spectral_radSurfaceReflectance parity,
+        # src/m_surface.cc:140-240, with spectral_surf_reflFlatScalar): the
+        # downwelling radiance arriving at the surface from the specular
+        # direction is computed by re-running the emission recursion over
+        # the SAME layer stack reversed — exact for a horizontally
+        # homogeneous 1D atmosphere, replacing the reference's re-entrant
+        # observer-agenda call; then I0 = R I_down + (1 - R) B(T_surf).
+        b_surf = planck(f_grid, scene.surface_temperature)
+        I_down = emission_unpolarized(k[::-1], J[::-1], r[::-1], cmb)
+        refl = 1.0 - scene.surface_emissivity
+        I0 = refl * I_down + scene.surface_emissivity * b_surf
     else:
-        I0 = planck(
-            f_grid, jnp.asarray(const.cosmic_microwave_background_temperature)
-        ) * jnp.ones_like(f_grid)
+        I0 = cmb
 
-    return emission_unpolarized(k, J, jnp.asarray(path_dr), I0)
+    return emission_unpolarized(k, J, r, I0)
 
 
 def simulate_clearsky_bt(scene, f_grid, path_alt, path_dr, background="space"):
@@ -148,6 +162,11 @@ class ZeemanScene:
     pf: PartFunTable
     surface_temperature: jax.Array = dataclasses.field(
         default_factory=lambda: jnp.asarray(288.0)
+    )
+    # scalar power reflectance for background="surface_reflect"
+    # (spectral_surf_reflFlatScalar parity, src/m_surface.cc:89-138)
+    surface_reflectance: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.asarray(0.0)
     )
 
 
@@ -182,12 +201,36 @@ def simulate_clearsky_polarized(
     B = planck(f_grid[None, :], pts.t[:, None])  # [np, F]
     J = jnp.zeros(B.shape + (4,), B.dtype).at[..., 0].set(B)
 
+    r = jnp.asarray(path_dr)
+    cmb = planck(
+        f_grid, jnp.asarray(const.cosmic_microwave_background_temperature)
+    ) * jnp.ones_like(f_grid)
     if background == "surface":
         I0s = planck(f_grid, scene.surface_temperature)
-    else:
-        I0s = planck(
-            f_grid, jnp.asarray(const.cosmic_microwave_background_temperature)
-        ) * jnp.ones_like(f_grid)
-    I0 = jnp.zeros(f_grid.shape + (4,), f_grid.dtype).at[..., 0].set(I0s)
+        I0 = jnp.zeros(f_grid.shape + (4,), f_grid.dtype).at[..., 0].set(I0s)
+    elif background == "surface_reflect":
+        # Polarized reflecting surface: the downwelling Stokes vector is
+        # integrated along the mirrored path (zenith angle 180 - za flips
+        # the magnetic geometry, so the propagation matrices are
+        # recomputed, not reused), then reflected with the V-mirroring
+        # scalar reflection (rtepack::flat_scalar_reflection,
+        # rtepack_surface.cc:341-346).
+        from .rtepack.surface import flat_scalar_reflection
 
-    return emission_polarized(k, J, jnp.asarray(path_dr), I0)
+        za_down = 180.0 - jnp.asarray(path_za)[::-1]
+        k_down = jax.vmap(
+            lambda t, p, v, m, za: zeeman_propmat(
+                f_grid, scene.zcat, scene.pf, t, p, v, m, za, block=block
+            )
+        )(
+            pts.t[::-1], pts.p[::-1], pts.vmr[::-1], pts.mag[::-1], za_down
+        )  # [np, F, 7]
+        I_cmb = jnp.zeros(f_grid.shape + (4,), f_grid.dtype).at[..., 0].set(cmb)
+        I_down = emission_polarized(k_down, J[::-1], r[::-1], I_cmb)
+        b_surf = planck(f_grid, scene.surface_temperature)
+        B = jnp.zeros(f_grid.shape + (4,), f_grid.dtype).at[..., 0].set(b_surf)
+        I0 = flat_scalar_reflection(I_down, scene.surface_reflectance, B)
+    else:
+        I0 = jnp.zeros(f_grid.shape + (4,), f_grid.dtype).at[..., 0].set(cmb)
+
+    return emission_polarized(k, J, r, I0)

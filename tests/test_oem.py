@@ -135,3 +135,70 @@ def test_covariance_builders():
     assert np.asarray(g)[0, 2] < np.asarray(g)[0, 1]
     b = block_diag(d, g)
     assert b.shape == (5, 5) and float(b[0, 3]) == 0.0
+
+
+def test_transform_roundtrips():
+    """logrel / RH / polyfit bijector consistency (jac_logrel, jac_rh,
+    jac_polyfit parity)."""
+    from arts_tpu.retrieval.targets import (
+        LogRelTransform,
+        PolyFitTransform,
+        RHTransform,
+        saturation_pressure_water,
+    )
+
+    v = SCENE.atm.vmr[0] + 1e-12
+    ref = v * 1.3
+
+    lr = LogRelTransform()
+    np.testing.assert_allclose(
+        np.asarray(lr.inv(lr.fwd(v, ref), ref)), np.asarray(v), rtol=1e-12
+    )
+
+    rh = RHTransform(psat=saturation_pressure_water)
+    x = rh.fwd(v, ref, SCENE)
+    v2 = rh.inv(x, ref, SCENE)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(v), rtol=1e-12)
+    # RH of ~1% water at the surface is order 0.1-1 (sanity of psat)
+    e_s = float(saturation_pressure_water(288.0))
+    assert 1000.0 < e_s < 3000.0  # ~1.7 kPa at 288 K
+
+    # polyfit: exact for a polynomial deviation of matching order
+    grid = jnp.linspace(0.0, 1e5, v.size)
+    pf = PolyFitTransform(grid=grid, order=2)
+    tn = (grid - grid.mean()) / (jnp.ptp(grid) / 2)
+    dev = 0.5 + 0.2 * tn - 0.05 * tn**2
+    coef = pf.fwd(ref + dev, ref)
+    assert coef.shape == (3,)
+    np.testing.assert_allclose(
+        np.asarray(pf.inv(coef, ref)), np.asarray(ref + dev), rtol=1e-9
+    )
+
+
+def test_statemapping_polyfit_target():
+    """Shape-changing target: the state slice is the coefficient vector."""
+    from arts_tpu.retrieval.targets import PolyFitTransform
+
+    def get(s):
+        return s.atm.t
+
+    def set_(s, v):
+        return dataclasses.replace(s, atm=dataclasses.replace(s.atm, t=v))
+
+    grid = SCENE.atm.z
+    tgt = RetrievalTarget(
+        "t_poly", get, set_, transform=PolyFitTransform(grid=grid, order=1)
+    )
+    mapping = StateMapping(targets=[tgt], ref_scene=SCENE)
+    assert mapping.n_state == 2
+
+    x = jnp.asarray([3.0, -2.0])
+    sc = mapping.to_scene(x)
+    tn = (grid - grid.mean()) / (jnp.ptp(grid) / 2)
+    np.testing.assert_allclose(
+        np.asarray(sc.atm.t), np.asarray(SCENE.atm.t + 3.0 - 2.0 * tn), rtol=1e-12
+    )
+    # round trip back to the coefficients
+    np.testing.assert_allclose(
+        np.asarray(mapping.to_vector(sc)), np.asarray(x), atol=1e-9
+    )

@@ -5,6 +5,11 @@ Mirror of the reference's examples/2-clearsky-radiative-transfer/
 the PWR98/standard predefined gas models.
 """
 
+# runnable standalone: enforce the framework precision/platform
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
 import numpy as np
 
 import jax

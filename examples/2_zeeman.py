@@ -5,6 +5,11 @@ splits in the geomagnetic field; circular polarization (Stokes V) appears
 along the field.
 """
 
+# runnable standalone: enforce the framework precision/platform
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
 import numpy as np
 
 import jax.numpy as jnp

@@ -5,6 +5,11 @@ reference's own example data when present (reproduces the ARTS 2.6
 goldens; see tests/test_reference_parity.py), else a synthetic cloud.
 """
 
+# runnable standalone: enforce the framework precision/platform
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
 import os
 
 import numpy as np

@@ -1,5 +1,10 @@
 """Atmospheric up/down flux profiles (AtmosphericFlux recipe parity)."""
 
+# runnable standalone: enforce the framework precision/platform
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
 import numpy as np
 
 import jax.numpy as jnp

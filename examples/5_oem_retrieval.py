@@ -1,6 +1,11 @@
 """Gauss-Newton water-vapor retrieval from synthetic radiometer channels
 (full_optimal_estimation.py parity, offline)."""
 
+# runnable standalone: enforce the framework precision/platform
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
 import numpy as np
 
 import jax.numpy as jnp

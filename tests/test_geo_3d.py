@@ -84,3 +84,93 @@ def test_dipole_field():
     prof = magnetic_profile(np.linspace(0, 80e3, 5), lat_deg=45.0)
     assert prof.shape == (3, 5)
     assert np.all(np.isfinite(prof))
+
+
+def test_igrf13_degree1_reduces_to_dipole():
+    from arts_tpu.atm.igrf import EARTH_RADIUS_IGRF, igrf13
+
+    lats = np.array([0.0, 37.0, -60.0])
+    lons = np.array([0.0, -122.0, 140.0])
+    alts = np.array([0.0, 10e3, 300e3])
+    b1 = igrf13(lats, lons, alts, year=2020.0, nmax=1,
+                ell=(EARTH_RADIUS_IGRF, EARTH_RADIUS_IGRF))
+    bd = dipole_field(lats, lons, alts)
+    np.testing.assert_allclose(b1, bd, rtol=1e-12)
+
+
+def test_igrf13_schmidt_legendre_vs_scipy():
+    """Independent cross-check of the Schmidt recurrences against
+    scipy.special.lpmv: P_schmidt = (-1)^m sqrt(2 (n-m)!/(n+m)!) lpmv
+    (lpmv carries the Condon-Shortley phase, Schmidt drops it);
+    dP/dtheta via central differences in theta."""
+    from math import factorial
+
+    from scipy.special import lpmv
+
+    from arts_tpu.atm.igrf import _schmidt_legendre
+
+    nmax = 13
+    dth = 1e-6
+    for th in (0.6, 1.36, 1.88, 2.9):
+        x, st = np.cos(th), np.sin(th)
+        P, dP = _schmidt_legendre(nmax, x, st)
+        for n in range(nmax + 1):
+            for m in range(n + 1):
+                norm = 1.0 if m == 0 else (-1.0) ** m * np.sqrt(
+                    2.0 * factorial(n - m) / factorial(n + m)
+                )
+                ps = norm * lpmv(m, n, x)
+                np.testing.assert_allclose(
+                    P[n, m], ps, rtol=1e-10, atol=1e-12, err_msg=f"P n={n} m={m}"
+                )
+                dps = (
+                    norm
+                    * (lpmv(m, n, np.cos(th + dth)) - lpmv(m, n, np.cos(th - dth)))
+                    / (2 * dth)
+                )
+                np.testing.assert_allclose(
+                    dP[n, m], dps, rtol=1e-5, atol=1e-7, err_msg=f"dP n={n} m={m}"
+                )
+
+
+def test_igrf13_known_geophysics():
+    """Pin the 2020 field against well-known IGRF-13 values: declination
+    ~-4.7 deg at (0N,0E), dip ~+60 deg at (45N,0E), South Atlantic Anomaly
+    weak field, polar field ~2x equatorial."""
+    from arts_tpu.atm.igrf import igrf13
+
+    b00 = igrf13(0.0, 0.0, 0.0, year=2020.0)
+    dec = np.rad2deg(np.arctan2(b00[0], b00[1]))
+    assert -5.5 < dec < -4.0
+    assert 30e-6 < np.linalg.norm(b00) < 34e-6
+
+    b45 = igrf13(45.0, 0.0, 0.0, year=2020.0)
+    dip = np.rad2deg(np.arctan2(-b45[2], np.hypot(b45[0], b45[1])))
+    assert 58.0 < dip < 63.0
+
+    b_saa = igrf13(-25.0, -50.0, 0.0, year=2020.0)
+    assert np.linalg.norm(b_saa) < 24e-6  # anomaly minimum region
+
+    b_pol = igrf13(85.0, 0.0, 0.0, year=2020.0)
+    assert np.linalg.norm(b_pol) > 1.6 * np.linalg.norm(b00)
+
+
+def test_igrf13_epoch_blend():
+    from arts_tpu.atm.igrf import igrf13
+
+    b15 = igrf13(40.0, 10.0, 0.0, year=2015.0)
+    b20 = igrf13(40.0, 10.0, 0.0, year=2020.0)
+    bmid = igrf13(40.0, 10.0, 0.0, year=2017.5)
+    np.testing.assert_allclose(bmid, 0.5 * (b15 + b20), rtol=1e-12)
+    # clamped outside the table
+    np.testing.assert_allclose(
+        igrf13(40.0, 10.0, 0.0, year=2035.0), b20, rtol=1e-12
+    )
+
+
+def test_magnetic_profile_igrf():
+    prof = magnetic_profile(np.linspace(0, 80e3, 5), lat_deg=60.0, lon_deg=15.0)
+    assert prof.shape == (3, 5)
+    mag = np.linalg.norm(prof, axis=0)
+    assert np.all(np.diff(mag) < 0)  # decays with altitude
+    assert 40e-6 < mag[0] < 60e-6

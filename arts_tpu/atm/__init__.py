@@ -1,1 +1,2 @@
 from .field import Atmosphere1D, AtmPointData  # noqa: F401
+from .field3d import Atmosphere3D  # noqa: F401

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from . import constants as const
-from .atm import Atmosphere1D
+from .atm import Atmosphere1D, Atmosphere3D
 from .lbl.catalog import LineCatalog
 from .lbl.partfun import PartFunTable
 from .lbl.voigt import absorption
@@ -234,3 +234,104 @@ def simulate_clearsky_polarized(
         I0 = jnp.zeros(f_grid.shape + (4,), f_grid.dtype).at[..., 0].set(cmb)
 
     return emission_polarized(k, J, r, I0)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Clearsky3DScene:
+    """Clear-sky scene over a 3D (alt, lat, lon) atmosphere.
+
+    Parity: fwd::spectral_rad's gridded (alt, lat, lon) atmosphere walked
+    per path point with 8-corner interpolation weights
+    (src/core/fwd/fwd_spectral_radiance.h:40-85); here the trilinear
+    point evaluation is vmapped over the whole path at once.
+    """
+
+    atm: Atmosphere3D
+    cat: LineCatalog | None
+    pf: PartFunTable | None
+    surface_temperature: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.asarray(288.0)
+    )
+    surface_emissivity: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.asarray(1.0)
+    )
+    predef: tuple = dataclasses.field(metadata=dict(static=True), default=())
+    species_names: tuple = dataclasses.field(
+        metadata=dict(static=True), default=()
+    )
+    ecs_bands: tuple = ()
+
+
+@functools.partial(jax.jit, static_argnames=("background", "block"))
+def simulate_clearsky_3d(
+    scene: Clearsky3DScene,
+    f_grid,
+    path_alt,
+    path_lat,
+    path_lon,
+    path_dr,
+    background: str = "space",
+    block: int = 256,
+    path_za=None,
+    path_aa=None,
+):
+    """Clear-sky radiance along a 3D path (observer -> background order).
+
+    Same physics as `simulate_clearsky` with atmospheric state sampled at
+    (alt, lat, lon) per point; with scene.atm.wind set and path angles
+    given, absorption is evaluated on the per-point Doppler-shifted grid.
+    """
+    pts = scene.atm.at(path_alt, path_lat, path_lon)
+
+    if scene.atm.wind is not None and path_za is not None:
+        za = jnp.deg2rad(jnp.asarray(path_za))
+        aa = jnp.deg2rad(
+            jnp.zeros_like(za) if path_aa is None else jnp.asarray(path_aa)
+        )
+        khat = jnp.stack(
+            [jnp.sin(za) * jnp.sin(aa), jnp.sin(za) * jnp.cos(aa), jnp.cos(za)],
+            axis=-1,
+        )
+        v_los = jnp.sum(pts.wind * khat, axis=-1)
+        dshift = 1.0 - v_los / const.c
+    else:
+        dshift = jnp.ones(jnp.shape(path_alt), f_grid.dtype)
+
+    def point_abs(t, p, v, d):
+        fg = f_grid * d
+        a = jnp.zeros_like(f_grid)
+        if scene.cat is not None and scene.cat.n_lines > 0:
+            a = a + absorption(fg, scene.cat, scene.pf, t, p, v, block=block)
+        if scene.predef:
+            from .predefined import predefined_absorption
+
+            vmrs = {tag: v[i] for i, tag in enumerate(scene.species_names)}
+            a = a + predefined_absorption(scene.predef, fg, t, p, vmrs)
+        for band, sidx, iidx, irat in scene.ecs_bands:
+            from .lbl.ecs import ecs_absorption
+
+            a = a + ecs_absorption(fg, band, scene.pf, iidx, t, p, v[sidx], irat)
+        return a
+
+    k = jax.vmap(point_abs)(pts.t, pts.p, pts.vmr, dshift)
+    J = planck(f_grid[None, :], pts.t[:, None])
+
+    r = jnp.asarray(path_dr)
+    cmb = planck(
+        f_grid, jnp.asarray(const.cosmic_microwave_background_temperature)
+    ) * jnp.ones_like(f_grid)
+    if background == "surface":
+        b_surf = planck(f_grid, scene.surface_temperature)
+        I0 = scene.surface_emissivity * b_surf + (
+            1.0 - scene.surface_emissivity
+        ) * cmb
+    elif background == "surface_reflect":
+        b_surf = planck(f_grid, scene.surface_temperature)
+        I_down = emission_unpolarized(k[::-1], J[::-1], r[::-1], cmb)
+        refl = 1.0 - scene.surface_emissivity
+        I0 = refl * I_down + scene.surface_emissivity * b_surf
+    else:
+        I0 = cmb
+
+    return emission_unpolarized(k, J, r, I0)

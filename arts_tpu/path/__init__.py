@@ -1,1 +1,6 @@
-from .geometry import PathGeometry, geometric_path_1d  # noqa: F401
+from .geometry import (  # noqa: F401
+    PathGeometry,
+    PathGeometry3D,
+    geometric_path_1d,
+    geometric_path_3d,
+)

@@ -174,3 +174,104 @@ def test_magnetic_profile_igrf():
     mag = np.linalg.norm(prof, axis=0)
     assert np.all(np.diff(mag) < 0)  # decays with altitude
     assert 40e-6 < mag[0] < 60e-6
+
+
+def test_3d_pipeline_matches_1d_on_homogeneous_atmosphere():
+    """A lat/lon-homogeneous Atmosphere3D driven along a slanted 3D path
+    must reproduce the 1D pipeline on the equivalent (alt, dr) path."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from test_clearsky import SCENE, F_GRID
+
+    from arts_tpu.atm import Atmosphere3D
+    from arts_tpu.fwd import (
+        Clearsky3DScene,
+        simulate_clearsky,
+        simulate_clearsky_3d,
+    )
+    from arts_tpu.path import geometric_path_3d
+
+    atm1 = SCENE.atm
+    lat_g = jnp.asarray([-90.0, 90.0])
+    lon_g = jnp.asarray([-180.0, 180.0])
+    atm3 = Atmosphere3D(
+        z=atm1.z,
+        lat=lat_g,
+        lon=lon_g,
+        t=jnp.broadcast_to(atm1.t[:, None, None], atm1.t.shape + (2, 2)),
+        p=jnp.broadcast_to(atm1.p[:, None, None], atm1.p.shape + (2, 2)),
+        vmr=jnp.broadcast_to(
+            atm1.vmr[:, :, None, None], atm1.vmr.shape + (2, 2)
+        ),
+    )
+    sc3 = Clearsky3DScene(atm=atm3, cat=SCENE.cat, pf=SCENE.pf)
+
+    p = geometric_path_3d(100e3, 12.0, 30.0, 160.0, 45.0, 0.0, 80e3, 2000.0)
+    assert p.background == "surface"
+    I3 = simulate_clearsky_3d(
+        sc3, F_GRID, jnp.asarray(p.alt), jnp.asarray(p.lat),
+        jnp.asarray(p.lon), jnp.asarray(p.dr), background="surface",
+    )
+    I1 = simulate_clearsky(
+        SCENE, F_GRID, jnp.asarray(p.alt), jnp.asarray(p.dr),
+        background="surface",
+    )
+    np.testing.assert_allclose(np.asarray(I3), np.asarray(I1), rtol=1e-10)
+
+
+def test_3d_pipeline_sees_horizontal_gradient():
+    """A warm-north/cold-south temperature gradient: the north-looking
+    slant path must be warmer than the south-looking one."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from test_clearsky import SCENE, F_GRID
+
+    from arts_tpu.atm import Atmosphere3D
+    from arts_tpu.fwd import Clearsky3DScene, simulate_clearsky_3d
+    from arts_tpu.path import geometric_path_3d
+
+    atm1 = SCENE.atm
+    lat_g = jnp.asarray([-30.0, 50.0])
+    lon_g = jnp.asarray([-180.0, 180.0])
+    # +20 K at lat 50, -20 K at lat -30 (linear in between)
+    t3 = jnp.stack(
+        [atm1.t - 20.0, atm1.t + 20.0], axis=1
+    )[:, :, None] * jnp.ones((1, 1, 2))
+    atm3 = Atmosphere3D(
+        z=atm1.z,
+        lat=lat_g,
+        lon=lon_g,
+        t=t3,
+        p=jnp.broadcast_to(atm1.p[:, None, None], atm1.p.shape + (2, 2)),
+        vmr=jnp.broadcast_to(
+            atm1.vmr[:, :, None, None], atm1.vmr.shape + (2, 2)
+        ),
+    )
+    sc3 = Clearsky3DScene(
+        atm=atm3, cat=SCENE.cat, pf=SCENE.pf,
+        surface_temperature=jnp.asarray(288.0),
+    )
+
+    args = dict(z_surf=0.0, z_toa=80e3, max_step=2000.0)
+    pn = geometric_path_3d(100e3, 10.0, 0.0, 135.0, 0.0, **args)
+    ps = geometric_path_3d(100e3, 10.0, 0.0, 135.0, 180.0, **args)
+
+    def run(p):
+        return simulate_clearsky_3d(
+            sc3, F_GRID, jnp.asarray(p.alt), jnp.asarray(p.lat),
+            jnp.asarray(p.lon), jnp.asarray(p.dr), background=p.background,
+        )
+
+    In, Is = np.asarray(run(pn)), np.asarray(run(ps))
+    i_line = int(np.argmin(np.abs(np.asarray(F_GRID) - 183.31e9)))
+    # the slant paths separate by ~1 deg latitude -> ~0.5 K contrast on
+    # the 0.5 K/deg gradient; require a clear >0.1% split, north warmer
+    assert In[i_line] > Is[i_line] * 1.001
+    # and identical paths through the homogeneous pressure field agree on
+    # the transparent-window surface view (same surface temperature)
+    i_win = int(np.argmin(np.abs(np.asarray(F_GRID) - 200e9)))
+    np.testing.assert_allclose(In[i_win], Is[i_win], rtol=5e-3)

@@ -285,8 +285,15 @@ def disort(
     # ---- phase matrices and eigenstructure per (mode, layer) ----
     Pp = jnp.einsum("lk,mki,mkj->mlij", leg_scaled, lam, lam)
     Pm = jnp.einsum("lk,mk,mki,mkj->mlij", leg_scaled, sign, lam, lam)
-    k, Gp, Gm = _eigen(Pp, Pm, omega_p, mu, w, fast_linalg)
-    Ek = jnp.exp(-k * dtau_p[None, :, None])  # [M,L,N]
+    if fast_linalg and jax.default_backend() == "tpu" and N <= 16:
+        from .eigen_kernel import fused_eigen
+
+        k, Ek, Gp, Gm = fused_eigen(
+            Pp, Pm, omega_p[None, :], dtau_p[None, :], mu_np, w_np
+        )
+    else:
+        k, Gp, Gm = _eigen(Pp, Pm, omega_p, mu, w, fast_linalg)
+        Ek = jnp.exp(-k * dtau_p[None, :, None])  # [M,L,N]
 
     c = 0.5 * omega_p
     ApB = (1.0 / mu)[:, None] * (I_N - c[None, :, None, None] * (Pp - Pm) * w)

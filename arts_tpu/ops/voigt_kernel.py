@@ -15,6 +15,11 @@ Kernel design (see pallas guide):
   * lines are sorted by f0; blocks whose cutoff windows cannot intersect
     the frequency tile are skipped via @pl.when on block extrema (the TPU
     analogue of the reference's active_lines span search, lbl_data.h:270).
+  * far-wing fast path: when the WHOLE (tile, block) pair is provably in
+    the asymptotic region — min|z|^2 >= (igd_min*gap)^2 + zi_min^2 > R2,
+    from prefetched per-block extrema — only the ~20-flop Laurent series
+    runs, skipping the ~150-flop Weideman loop.  For wide grids most
+    visited pairs are wing-only, so this is ~2x on the whole contraction.
 
 Frequencies/line centers should be passed pre-shifted by a common anchor
 (f - anchor) so float32 keeps sub-kHz resolution; line widths ~1e9 Hz.
@@ -35,8 +40,8 @@ _INV_SQRT_PI = 1.0 / math.sqrt(math.pi)
 _ASYM_R2 = 512.0
 
 
-def _wofz_parts(zr, zi, n):
-    """w(z) for Im z >= 0 with hand-rolled complex math. Returns (wr, wi)."""
+def _wofz_weideman(zr, zi, n):
+    """Weideman rational approximation (wr, wi) for Im z >= 0."""
     Lw, a = _weideman_coeffs(n)
     dtype = zr.dtype
     Lw = jnp.asarray(Lw, dtype)
@@ -59,33 +64,45 @@ def _wofz_parts(zr, zi, n):
     t_i = (2.0 * (pi * dr - pr * di)) * inv_d2
     w_r = (t_r * dr + t_i * di) * inv_d2
     w_i = (t_i * dr - t_r * di) * inv_d2
+    return w_r, w_i
 
-    # asymptotic for large |z|: w = i/sqrt(pi) * s / z, s = sum c_k z^-2k
+
+def _wofz_asym(zr, zi):
+    """Laurent series w ~ i/(sqrt(pi) z) sum c_k z^-2k for |z|^2 > _ASYM_R2."""
     r2 = zr * zr + zi * zi
-    big = r2 > _ASYM_R2
-    zr_b = jnp.where(big, zr, 100.0)
-    zi_b = jnp.where(big, zi, 100.0)
-    rb2 = zr_b * zr_b + zi_b * zi_b
-    inv_rb2 = 1.0 / rb2
+    inv_r2 = 1.0 / r2
     # 1/z^2 = (zr^2 - zi^2 - 2 i zr zi)/|z|^4
-    u_r = (zr_b * zr_b - zi_b * zi_b) * inv_rb2 * inv_rb2
-    u_i = (-2.0 * zr_b * zi_b) * inv_rb2 * inv_rb2
+    u_r = (zr * zr - zi * zi) * inv_r2 * inv_r2
+    u_i = (-2.0 * zr * zi) * inv_r2 * inv_r2
     s_r = jnp.full_like(zr, 15.0 / 8.0)
     s_i = jnp.zeros_like(zr)
     for c in (3.0 / 4.0, 1.0 / 2.0, 1.0):
         s_r, s_i = s_r * u_r - s_i * u_i + c, s_r * u_i + s_i * u_r
-    # i/(sqrt(pi) z) = i conj(z)/(sqrt(pi)|z|^2) = (zi + i zr)/(sqrt(pi)|z|^2)
-    f_r = zi_b * inv_rb2 * _INV_SQRT_PI
-    f_i = zr_b * inv_rb2 * _INV_SQRT_PI
-    wa_r = f_r * s_r - f_i * s_i
-    wa_i = f_r * s_i + f_i * s_r
+    # i/(sqrt(pi) z) = (zi + i zr)/(sqrt(pi)|z|^2)
+    f_r = zi * inv_r2 * _INV_SQRT_PI
+    f_i = zr * inv_r2 * _INV_SQRT_PI
+    return f_r * s_r - f_i * s_i, f_r * s_i + f_i * s_r
 
+
+def _wofz_parts(zr, zi, n):
+    """w(z) for Im z >= 0: Weideman blended with the asymptotic series."""
+    r2 = zr * zr + zi * zi
+    big = r2 > _ASYM_R2
+    w_r, w_i = _wofz_weideman(zr, zi, n)
+    # evaluate the series at a safe point where masked out to avoid 1/0
+    zr_b = jnp.where(big, zr, 100.0)
+    zi_b = jnp.where(big, zi, 100.0)
+    wa_r, wa_i = _wofz_asym(zr_b, zi_b)
     return jnp.where(big, wa_r, w_r), jnp.where(big, wa_i, w_i)
 
 
 def _voigt_kernel(
     fmin_ref,
     fmax_ref,
+    f0min_ref,
+    f0max_ref,
+    igdmin_ref,
+    zimin_ref,
     f_ref,
     f0_ref,
     igd_ref,
@@ -106,33 +123,49 @@ def _voigt_kernel(
         out_ref[:] = jnp.zeros_like(out_ref)
 
     # block skip: line block j against this freq tile (extrema prefetched)
-    i = pl.program_id(0)
     lo = fmin_ref[j]  # min over block of f0 - cut
     hi = fmax_ref[j]  # max over block of f0 + cut
     tile_lo = f_ref[0, 0]
     tile_hi = f_ref[0, f_ref.shape[1] - 1]
+    visit = (hi >= tile_lo) & (lo <= tile_hi)
 
-    @pl.when((hi >= tile_lo) & (lo <= tile_hi))
-    def _():
+    # provable whole-tile asymptotic bound:
+    # every |z|^2 >= (igd_min * gap)^2 + zi_min^2 with gap the separation
+    # between the tile interval and the block's f0 interval
+    gap = jnp.maximum(
+        jnp.maximum(f0min_ref[j] - tile_hi, tile_lo - f0max_ref[j]), 0.0
+    )
+    gmin = igdmin_ref[j] * gap
+    asym = gmin * gmin + zimin_ref[j] * zimin_ref[j] > 2.0 * _ASYM_R2
+
+    def load():
         f = f_ref[0, :]  # [TF]
         f0 = f0_ref[0, :]  # [TL]
-        igd = igd_ref[0, :]
-        zi = zi_ref[0, :]
-        sr = sr_ref[0, :]
-        si = si_ref[0, :]
-        cut = cut_ref[0, :]
-        wcr = wcr_ref[0, :]
-        wci = wci_ref[0, :]
-
         df = f[None, :] - f0[:, None]  # [TL, TF]
-        zr = igd[:, None] * df
-        zim = jnp.broadcast_to(zi[:, None], zr.shape)
-        wr, wi = _wofz_parts(zr, zim, n)
-        wr = wr - wcr[:, None]
-        wi = wi - wci[:, None]
-        inside = jnp.abs(df) <= cut[:, None]
-        contrib = jnp.where(inside, sr[:, None] * wr - si[:, None] * wi, 0.0)
+        zr = igd_ref[0, :][:, None] * df
+        zim = jnp.broadcast_to(zi_ref[0, :][:, None], zr.shape)
+        return df, zr, zim
+
+    def accumulate(df, wr, wi):
+        wr = wr - wcr_ref[0, :][:, None]
+        wi = wi - wci_ref[0, :][:, None]
+        inside = jnp.abs(df) <= cut_ref[0, :][:, None]
+        sr = sr_ref[0, :][:, None]
+        si = si_ref[0, :][:, None]
+        contrib = jnp.where(inside, sr * wr - si * wi, 0.0)
         out_ref[:] += jnp.sum(contrib, axis=0, keepdims=True)
+
+    @pl.when(visit & asym)
+    def _():
+        df, zr, zim = load()
+        wr, wi = _wofz_asym(zr, zim)
+        accumulate(df, wr, wi)
+
+    @pl.when(visit & jnp.logical_not(asym))
+    def _():
+        df, zr, zim = load()
+        wr, wi = _wofz_parts(zr, zim, n)
+        accumulate(df, wr, wi)
 
 
 @functools.partial(
@@ -173,21 +206,26 @@ def voigt_sum(
     if padL:
         f0 = pads(f0)
         inv_gd = pads(inv_gd)
-        z_imag = pads(z_imag)
+        z_imag = pads(z_imag, 1.0)  # keep zi_min bounds meaningful
         s_re = pads(s_re)
         s_im = pads(s_im)
         cutoff = pads(cutoff, -1.0)
         wcut_re = pads(wcut_re)
         wcut_im = pads(wcut_im)
 
-    # per-block window extrema (host-side jnp, tiny)
-    win_lo = jnp.min((f0 - cutoff).reshape(nl, tl), axis=1)
-    win_hi = jnp.max((f0 + cutoff).reshape(nl, tl), axis=1)
+    # per-block extrema (host-side jnp, tiny)
+    blk = lambda x: x.reshape(nl, tl)
+    win_lo = jnp.min(blk(f0 - cutoff), axis=1)
+    win_hi = jnp.max(blk(f0 + cutoff), axis=1)
+    f0_lo = jnp.min(blk(f0), axis=1)
+    f0_hi = jnp.max(blk(f0), axis=1)
+    igd_min = jnp.min(blk(inv_gd), axis=1)
+    zi_min = jnp.min(blk(z_imag), axis=1)
 
     row = lambda x: x.reshape(1, -1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # win_lo, win_hi
+        num_scalar_prefetch=6,  # win_lo, win_hi, f0_lo, f0_hi, igd_min, zi_min
         grid=(nf, nl),
         in_specs=[
             pl.BlockSpec((1, tf), lambda i, j, *_: (0, i), memory_space=pltpu.VMEM),
@@ -213,6 +251,10 @@ def voigt_sum(
     )(
         win_lo,
         win_hi,
+        f0_lo,
+        f0_hi,
+        igd_min,
+        zi_min,
         row(f_grid),
         row(f0),
         row(inv_gd),

@@ -1,0 +1,99 @@
+"""Interpret-mode coverage for the Pallas TPU kernels (they normally run
+only on TPU hardware; interpret=True executes the same kernel logic on
+CPU so the suite guards their math).
+
+- voigt_sum: lines x freqs contraction vs the plain-JAX reference path,
+  including cutoff windows, block skipping, and the far-wing fast path
+- fused_eigen: the fused DISORT eigen stage vs solver._eigen +
+  explicit Ek, compared through eigenmode-order-invariant quantities
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from arts_tpu.disort import solver as S
+from arts_tpu.disort.eigen_kernel import fused_eigen
+from arts_tpu.ops.voigt_kernel import voigt_sum
+from arts_tpu.ops.wofz import wofz
+
+
+def test_voigt_sum_interpret_matches_reference():
+    rng = np.random.default_rng(3)
+    L, F = 300, 700
+    f = jnp.linspace(-40e9, 40e9, F)
+    f0 = jnp.asarray(np.sort(rng.uniform(-60e9, 60e9, L)))
+    inv_gd = jnp.asarray(rng.uniform(1e-6, 4e-6, L))
+    z_imag = jnp.asarray(rng.uniform(0.5, 2000.0, L))
+    s_re = jnp.asarray(rng.normal(size=L))
+    s_im = jnp.asarray(0.1 * rng.normal(size=L))
+    # mix: finite cutoffs (exercise the window skip + wcut subtraction)
+    # and effectively-infinite ones
+    cutoff = jnp.asarray(
+        np.where(rng.random(L) < 0.5, rng.uniform(2e9, 10e9, L), 1e30)
+    )
+    wcut = jnp.where(
+        cutoff < 1e20, wofz(inv_gd * cutoff + 1j * z_imag), 0.0
+    )
+
+    got = voigt_sum(
+        f, f0, inv_gd, z_imag, s_re, s_im, cutoff,
+        jnp.real(wcut), jnp.imag(wcut),
+        tf=256, tl=128, interpret=True,
+    )
+
+    # plain-JAX reference
+    w = wofz(inv_gd[:, None] * (f[None, :] - f0[:, None]) + 1j * z_imag[:, None])
+    w = w - wcut[:, None]
+    inside = jnp.abs(f[None, :] - f0[:, None]) <= cutoff[:, None]
+    want = jnp.sum(
+        jnp.where(inside, s_re[:, None] * jnp.real(w) - s_im[:, None] * jnp.imag(w), 0.0),
+        axis=0,
+    )
+    scale = float(jnp.max(jnp.abs(want)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-7 * scale, rtol=2e-6)
+
+
+def test_fused_eigen_interpret_matches_xla_path():
+    rng = np.random.default_rng(4)
+    F, L, nq, M, N = 6, 13, 8, 1, 4
+    mu_np, w_np = S.double_gauss(N)
+    lam = jnp.asarray(S.lambda_tables(M, nq, N)[0])
+    sign = jnp.asarray(S.lambda_tables(M, nq, N)[1])
+    mu = jnp.asarray(mu_np)
+    w = jnp.asarray(w_np)
+    g = rng.uniform(0.0, 0.85, (F, L))
+    leg = jnp.asarray(g[..., None] ** np.arange(nq)[None, None, :])
+    legs = (2.0 * jnp.arange(nq) + 1.0) * leg
+    omega = jnp.asarray(rng.uniform(0.05, 0.95, (F, L)))
+    dtau = jnp.asarray(rng.uniform(1e-3, 1.5, (F, L)))
+
+    Pp = jnp.einsum("flk,mki,mkj->fmlij", legs, lam, lam)
+    Pm = jnp.einsum("flk,mk,mki,mkj->fmlij", legs, sign, lam, lam)
+
+    k_r, Gp_r, Gm_r = jax.vmap(
+        lambda a, b, om: S._eigen(a, b, om, mu, w, False)
+    )(Pp, Pm, omega)
+    Ek_r = jnp.exp(-k_r * dtau[:, None, :, None])
+
+    k_f, Ek_f, Gp_f, Gm_f = jax.vmap(
+        lambda a, b, om, dt: fused_eigen(a, b, om, dt, mu_np, w_np,
+                                         sub=1, interpret=True)
+    )(Pp, Pm, omega[:, None, :], dtau[:, None, :])
+
+    # eigenmode ORDER differs (fused skips the sort): compare sorted k and
+    # order-invariant mode sums  sum_i f(k_i) Gp[:,i] Gm[:,i]^T
+    np.testing.assert_allclose(
+        np.sort(np.asarray(k_f), -1), np.sort(np.asarray(k_r), -1), rtol=1e-10
+    )
+    for A_r, B_r, A_f, B_f in ((Gp_r, Gm_r, Gp_f, Gm_f),
+                               (Gp_r, Gp_r, Gp_f, Gp_f),
+                               (Gm_r, Gm_r, Gm_f, Gm_f)):
+        inv_r = jnp.einsum("...i,...ji,...ki->...jk", Ek_r, A_r, B_r)
+        inv_f = jnp.einsum("...i,...ji,...ki->...jk", Ek_f, A_f, B_f)
+        sc = float(jnp.max(jnp.abs(inv_r)))
+        np.testing.assert_allclose(
+            np.asarray(inv_f), np.asarray(inv_r), atol=1e-9 * sc, rtol=1e-8
+        )

@@ -187,12 +187,17 @@ def absorption_pallas(
     no_negative_absorption: bool = True,
     tf: int = 512,
     tl: int = 256,
-    wofz_n: int = 24,
+    wofz_n: int | None = None,
 ):
     """absorption() with the lines x freqs contraction in the Pallas TPU
     kernel (ops/voigt_kernel.py). Identical math; tiled VMEM execution with
     cutoff-window block skipping."""
     from ..ops.voigt_kernel import voigt_sum
+
+    if wofz_n is None:
+        # dtype-aware rational order: n=16 reaches f32 roundoff (4e-7 max
+        # rel vs scipy wofz in the non-asymptotic region); n=24 for f64
+        wofz_n = 24 if f_grid.dtype == jnp.float64 else 16
 
     ls = lineshape_params(cat, T, P, vmr)
     s, f0s, inv_gd, z_imag = line_strengths(cat, pf, T, P, vmr, ls)

@@ -62,6 +62,7 @@ def oem(
     lm_gamma_threshold: float = 1e-4,
     jac_mode: str = "auto",
     verbose: bool = False,
+    formulation: str = "nform",
 ) -> OEMResult:
     """Run a MAP retrieval.
 
@@ -70,6 +71,12 @@ def oem(
     normal equations by conjugate gradients.
     stop_dx: convergence when dx' (JtSeJ + Sa^-1) dx / n_state < stop_dx
     (the Rodgers d_i^2 criterion, as invlib).
+    formulation: "nform" solves the n x n state-space normal equations;
+    "mform" the m x m measurement-space system x = x_a + Sa J^T (J Sa J^T
+    + Se)^-1 (dy + J dx_a) — cheaper when m << n (invlib
+    Formulation::{NFORM,MFORM} parity, 3rdparty/invlib/src/invlib/map.h).
+    LM damping in mform scales Sa -> Sa/(1+gamma) (equivalent to the
+    nform H + gamma Sa^-1).
     """
     use_cg = method.endswith("_cg")
     method = method.removesuffix("_cg")
@@ -78,8 +85,10 @@ def oem(
     n = x_a.size
     m = y_obs.size
 
-    Sa_inv = jnp.linalg.inv(jnp.asarray(S_a))
-    Se_inv = jnp.linalg.inv(jnp.asarray(S_e))
+    S_a = jnp.asarray(S_a)
+    S_e = jnp.asarray(S_e)
+    Sa_inv = jnp.linalg.inv(S_a)
+    Se_inv = jnp.linalg.inv(S_e)
 
     if jac_mode == "auto":
         jac_mode = "fwd" if n <= m else "rev"
@@ -105,6 +114,19 @@ def oem(
     it = 0
     J = None
 
+    def step_nform(J, JtSe, H, g, gamma):
+        Hd = H + gamma * Sa_inv  # Marquardt damping scaled by Sa^-1
+        return _solve_spd(Hd, g, use_cg)
+
+    def step_mform(J, y, gamma):
+        # x+ = x_a + Sa_g J^T (J Sa_g J^T + Se)^-1 (dy + J (x - x_a)),
+        # Sa_g = Sa/(1+gamma): identical to nform H + gamma Sa^-1
+        Sa_g = S_a / (1.0 + gamma)
+        K = Sa_g @ J.T
+        rhs = (y_obs - y) + J @ (x - x_a)
+        lam = _solve_spd(J @ K + S_e, rhs, use_cg)
+        return (x_a + K @ lam) - x
+
     for it in range(1, max_iter + 1):
         J = jac_fn(x)
         JtSe = J.T @ Se_inv
@@ -114,8 +136,11 @@ def oem(
         if method == "lm":
             accepted = False
             while not accepted:
-                Hd = H + gamma * Sa_inv  # Marquardt damping scaled by Sa^-1
-                dx = _solve_spd(Hd, g, use_cg)
+                dx = (
+                    step_mform(J, y, gamma)
+                    if formulation == "mform"
+                    else step_nform(J, JtSe, H, g, gamma)
+                )
                 x_try = x + dx
                 y_try = fwd_fn(x_try)
                 cy_t, cx_t = cost_parts(x_try, y_try)
@@ -129,7 +154,11 @@ def oem(
                 else:
                     gamma = max(gamma, lm_gamma_threshold) * lm_gamma_inc
         else:
-            dx = _solve_spd(H, g, use_cg)
+            dx = (
+                step_mform(J, y, 0.0)
+                if formulation == "mform"
+                else _solve_spd(H, g, use_cg)
+            )
             x_try = x + dx
             y_try = fwd_fn(x_try)
             cy_t, cx_t = cost_parts(x_try, y_try)
@@ -151,7 +180,11 @@ def oem(
     J = jac_fn(x)
     JtSe = J.T @ Se_inv
     H = JtSe @ J + Sa_inv
-    G = _solve_spd(H, JtSe)  # gain matrix (measurement_gain_mat parity)
+    if formulation == "mform":
+        K = S_a @ J.T
+        G = K @ jnp.linalg.inv(J @ K + S_e)  # gain, measurement-space form
+    else:
+        G = _solve_spd(H, JtSe)  # gain matrix (measurement_gain_mat parity)
     A = G @ J  # averaging kernel (measurement_averaging_kernelCalc)
 
     return OEMResult(

@@ -89,3 +89,74 @@ def raw_channels(n_freq, geo_idx=0) -> SensorArray:
         w=jnp.ones((n_freq,)),
         n_elements=int(n_freq),
     )
+
+
+def gaussian_zenith_channels(
+    dzen_grid, std_zen, n_freq, geo_offset=0, normalize=True
+) -> SensorArray:
+    """Gaussian antenna response over zenith offsets (one measurement
+    element per frequency, summing geometries with Gaussian weights).
+
+    Parity: measurement_sensorAddGaussianZenith (workspace_methods.cpp) —
+    the simulation batch must contain one geometry per dzen_grid entry
+    (LOS zenith = center + dzen), starting at geo_offset.
+    """
+    dzen = np.asarray(dzen_grid, dtype=np.float64)
+    wg = np.exp(-0.5 * (dzen / float(std_zen)) ** 2)
+    if normalize:
+        wg = wg / wg.sum()
+    G = dzen.size
+    rows = np.repeat(np.arange(n_freq, dtype=np.int32), G)
+    geos = np.tile(
+        (geo_offset + np.arange(G)).astype(np.int32), n_freq
+    )
+    freqs = np.repeat(np.arange(n_freq, dtype=np.int32), G)
+    ws = np.tile(wg, n_freq)
+    return SensorArray(
+        row=jnp.asarray(rows),
+        geo=jnp.asarray(geos),
+        freq=jnp.asarray(freqs),
+        w=jnp.asarray(ws),
+        n_elements=n_freq,
+    )
+
+
+def camera_pixels(
+    n_h, n_w, ccd_h, ccd_w, focal_length, focus_distance,
+):
+    """Thin-lens camera pixel LOS offsets [(n_h*n_w), 2] (dzen, dazi) [deg].
+
+    Parity: measurement_sensorAddCamera (workspace_methods.cpp) — the
+    image distance follows the thin-lens equation d_i = f d_o / (d_o - f)
+    and pixel offsets are negated arctans of the CCD displacement (the
+    lens inverts the image).
+    """
+    f = float(focal_length)
+    d_o = float(focus_distance)
+    d_i = f * d_o / (d_o - f)
+    ys = (np.arange(n_h) - (n_h - 1) / 2.0) * (ccd_h / n_h)
+    xs = (np.arange(n_w) - (n_w - 1) / 2.0) * (ccd_w / n_w)
+    dzen = -np.rad2deg(np.arctan2(ys, d_i))
+    dazi = -np.rad2deg(np.arctan2(xs, d_i))
+    zz, aa = np.meshgrid(dzen, dazi, indexing="ij")
+    return np.stack([zz.ravel(), aa.ravel()], axis=-1)
+
+
+def camera_channels(n_h, n_w, n_freq, geo_offset=0) -> SensorArray:
+    """Dirac per-(pixel, frequency) measurement elements for a camera whose
+    pixels occupy geometries [geo_offset, geo_offset + n_h*n_w).
+
+    Element ordering is (pixel-major, frequency-minor), matching the
+    reference's n_h x n_w x nfreq element layout.
+    """
+    P = n_h * n_w
+    rows = np.arange(P * n_freq, dtype=np.int32)
+    geos = (geo_offset + np.repeat(np.arange(P), n_freq)).astype(np.int32)
+    freqs = np.tile(np.arange(n_freq, dtype=np.int32), P)
+    return SensorArray(
+        row=jnp.asarray(rows),
+        geo=jnp.asarray(geos),
+        freq=jnp.asarray(freqs),
+        w=jnp.ones((P * n_freq,)),
+        n_elements=P * n_freq,
+    )

@@ -74,3 +74,41 @@ def test_keep_strongest():
     cat2 = keep_strongest(SCENE.cat, 174.6, 50.0)
     assert cat2.n_lines <= SCENE.cat.n_lines
     assert cat2.n_lines >= 1
+
+
+def test_gaussian_zenith_channels():
+    from arts_tpu.sensor.obsel import gaussian_zenith_channels
+
+    dzen = np.linspace(-1.0, 1.0, 9)
+    sa = gaussian_zenith_channels(dzen, std_zen=0.5, n_freq=3)
+    # I[geo, freq] with a linear zenith dependence: the symmetric Gaussian
+    # average must recover the center value exactly
+    I = jnp.asarray(
+        np.broadcast_to(dzen[:, None], (9, 3)) * 2.0
+        + np.asarray([10.0, 20.0, 30.0])
+    )
+    y = np.asarray(sa.apply(I))
+    np.testing.assert_allclose(y, [10.0, 20.0, 30.0], rtol=1e-12)
+
+
+def test_camera_channels():
+    from arts_tpu.sensor.obsel import camera_channels, camera_pixels
+
+    pix = camera_pixels(3, 4, ccd_h=0.01, ccd_w=0.02,
+                        focal_length=0.05, focus_distance=10.0)
+    assert pix.shape == (12, 2)
+    # antisymmetry of the pixel grid (lens inversion): top row mirrors
+    # bottom row in zenith, left column mirrors right column in azimuth
+    zen = pix[:, 0].reshape(3, 4)
+    azi = pix[:, 1].reshape(3, 4)
+    np.testing.assert_allclose(zen, -zen[::-1, :], atol=1e-12)
+    np.testing.assert_allclose(azi, -azi[:, ::-1], atol=1e-12)
+    np.testing.assert_allclose(zen[1], 0.0, atol=1e-12)  # odd row count
+    # image distance sanity: offsets shrink when focal length shrinks
+    pix2 = camera_pixels(3, 4, 0.01, 0.02, 0.01, 10.0)
+    assert np.abs(pix2[:, 0]).max() > np.abs(pix[:, 0]).max()
+
+    sa = camera_channels(3, 4, n_freq=2)
+    I = jnp.asarray(np.arange(24, dtype=np.float64).reshape(12, 2))
+    y = np.asarray(sa.apply(I))
+    np.testing.assert_allclose(y, np.arange(24.0), rtol=1e-15)

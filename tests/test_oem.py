@@ -202,3 +202,37 @@ def test_statemapping_polyfit_target():
     np.testing.assert_allclose(
         np.asarray(mapping.to_vector(sc)), np.asarray(x), atol=1e-9
     )
+
+
+def test_oem_mform_matches_nform():
+    """invlib Formulation::MFORM parity: the measurement-space iteration
+    converges to the same MAP solution as the state-space normal
+    equations (exactly, for any m/n)."""
+    mapping = StateMapping(targets=[vmr_targets()], ref_scene=SCENE)
+    n = mapping.n_state
+    z = np.asarray(SCENE.atm.z)
+    bump = 1.0 + 0.15 * np.exp(-0.5 * ((z - 4e3) / 3e3) ** 2)
+    y_true = measurement(mapping.to_scene(jnp.asarray(bump)))
+    x_a = jnp.ones((n,))
+    noise = 1e-4 * np.abs(np.asarray(y_true)).mean()
+    S_e = jnp.eye(y_true.size) * noise**2
+    d = np.abs(z[:, None] - z[None, :])
+    S_a = jnp.asarray(0.3**2 * np.exp(-d / 10e3))
+
+    def fwd(x):
+        return measurement(mapping.to_scene(x))
+
+    r_n = oem(fwd, x_a, y_true, S_a, S_e, method="gn", max_iter=10)
+    r_m = oem(fwd, x_a, y_true, S_a, S_e, method="gn", max_iter=10,
+              formulation="mform")
+    assert r_m.converged
+    np.testing.assert_allclose(np.asarray(r_m.x), np.asarray(r_n.x), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(r_m.gain), np.asarray(r_n.gain), rtol=1e-6, atol=1e-12
+    )
+    # LM variant too
+    r_lm = oem(fwd, x_a, y_true, S_a, S_e, method="lm", max_iter=15,
+               formulation="mform")
+    # LM takes a different damped trajectory; optima agree to the
+    # convergence tolerance (stop_dx), not machine precision
+    np.testing.assert_allclose(np.asarray(r_lm.x), np.asarray(r_n.x), rtol=2e-3)

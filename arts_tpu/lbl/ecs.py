@@ -317,7 +317,8 @@ def _law2(v):
 
 
 def make_linear_band(lines, ecs=TRAN2011_CO2, li=0.0, lf=0.0,
-                     erot_fn=co2_erot, mass=43.98983, mass_other=43.98983):
+                     erot_fn=co2_erot, mass=43.98983, mass_other=43.98983,
+                     per_line_K=False):
     """Build an EcsBand for a linear-molecule (CO2-like) band.
 
     lines: dicts with f0 [Hz], a, e0 [J], gu, Ji (upper J), Jf (lower J),
@@ -326,6 +327,12 @@ def make_linear_band(lines, ecs=TRAN2011_CO2, li=0.0, lf=0.0,
     lbl_lineshape_voigt_ecs_hartmann.cpp relaxation_matrix_offdiagonal
     (geometry, the Jf_p <= Jf direct triangle with last-write tie
     resolution, and the W[j, i] direct placement).
+
+    per_line_K: symmetric-top mode (lbl_lineshape_voigt_ecs_stotop.cpp) —
+    each line dict carries "K"; K replaces l in the 3j symbols and the
+    reduced dipole, and only lines within the same K sub-band couple
+    (delta-K = 0 collisions).  The sum rule then renormalizes within each
+    sub-band automatically (cross-K couplings are exactly zero).
     """
     n = len(lines)
     T0 = lines[0].get("t0", 296.0)
@@ -337,10 +344,20 @@ def make_linear_band(lines, ecs=TRAN2011_CO2, li=0.0, lf=0.0,
     a = np.array([l["a"] for l in lines])
     Ji = np.array([l["Ji"] for l in lines], dtype=float)
     Jf = np.array([l["Jf"] for l in lines], dtype=float)
-
-    dipr = np.array(
-        [linear_reduced_dipole(Jf[i], Ji[i], lf, li) for i in range(n)]
+    Kv = (
+        np.array([l["K"] for l in lines], dtype=float)
+        if per_line_K
+        else None
     )
+
+    if per_line_K:
+        dipr = np.array(
+            [linear_reduced_dipole(Jf[i], Ji[i], Kv[i], Kv[i]) for i in range(n)]
+        )
+    else:
+        dipr = np.array(
+            [linear_reduced_dipole(Jf[i], Ji[i], lf, li) for i in range(n)]
+        )
     dip = 0.5 * const.c * np.sqrt(a / (f0**3 * 2.0 * np.pi))
     dip *= np.where(dipr < 0, -1.0, 1.0)
 
@@ -350,6 +367,8 @@ def make_linear_band(lines, ecs=TRAN2011_CO2, li=0.0, lf=0.0,
         arr[order] for arr in (f0, e0, gu, a, dip, dipr)
     )
     Ji, Jf = Ji[order], Jf[order]
+    if per_line_K:
+        Kv = Kv[order]
     g0_x0 = np.array([lines[i]["g0"][0] for i in order])
     g0_n = np.array([lines[i]["g0"][1] for i in order])
     d0_x0 = np.array([lines[i].get("d0", (0.0, 0.0))[0] for i in order])
@@ -371,6 +390,10 @@ def make_linear_band(lines, ecs=TRAN2011_CO2, li=0.0, lf=0.0,
             # order (the larger outer index writes last)
             if not (Jf[j] < Jf[i] or (Jf[j] == Jf[i] and j < i)):
                 continue
+            if per_line_K and Kv[j] != Kv[i]:
+                continue  # delta-K = 0: no cross-sub-band coupling
+            li_ij = Kv[i] if per_line_K else li
+            lf_ij = Kv[i] if per_line_K else lf
             mask[i, j] = True
             scl = (2.0 * Ji[j] + 1.0) * math.sqrt(
                 (2.0 * Jf[i] + 1.0) * (2.0 * Jf[j] + 1.0)
@@ -380,10 +403,10 @@ def make_linear_band(lines, ecs=TRAN2011_CO2, li=0.0, lf=0.0,
             L0 = max(L0, 2)
             Lend = int(min(Ji[i] + Ji[j], Jf[i] + Jf[j]))
             for L in range(L0, min(Lend, maxL - 1) + 1, 2):
-                aa = wigner3j(Ji[i], Ji[j], L, li, -li, 0.0)
+                aa = wigner3j(Ji[i], Ji[j], L, li_ij, -li_ij, 0.0)
                 if aa == 0.0:
                     continue
-                bb = wigner3j(Jf[i], Jf[j], L, lf, -lf, 0.0)
+                bb = wigner3j(Jf[i], Jf[j], L, lf_ij, -lf_ij, 0.0)
                 cc = wigner6j(Ji[i], Jf[i], 1.0, Jf[j], Ji[j], L)
                 geo[i, j, L] = scl * aa * bb * cc * (2 * L + 1)
 
@@ -507,3 +530,42 @@ def ecs_absorption(f_grid, band: EcsBand, pf, iso_idx, T, P, vmr_self, iso_ratio
         * jnp.real(shape)
     )
     return F
+
+
+# rigid-rotor B0 constants [cm^-1] for the symmetric/spherical-top ECS
+# basis energies (lbl_lineshape_voigt_ecs_{stotop,sphtop}.cpp
+# erot_selection; the IOS-limit basis rates carry no K dependence)
+TOP_B0_KAYCM = {
+    "NH3-4111": 9.9402,
+    "PH3-1111": 4.4522,
+    "CH4-211": 5.2410,
+}
+
+
+def _rigid_erot(B0_kaycm):
+    B = B0_kaycm * 1e2 * const.c * const.h  # kayser -> Joule
+    return lambda J: B * J * (J + 1.0)
+
+
+def make_stotop_band(lines, ecs, isotope="NH3-4111", mass=17.027,
+                     mass_other=28.96):
+    """Symmetric-top (NH3/PH3) ECS band: per-line K sub-bands, delta-K=0
+    coupling (lbl_lineshape_voigt_ecs_stotop.cpp parity).
+
+    lines: dicts additionally carrying "K" (the lower-state projection).
+    """
+    return make_linear_band(
+        lines, ecs, erot_fn=_rigid_erot(TOP_B0_KAYCM[isotope]),
+        mass=mass, mass_other=mass_other, per_line_K=True,
+    )
+
+
+def make_sphtop_band(lines, ecs, isotope="CH4-211", mass=16.031,
+                     mass_other=28.96):
+    """Spherical-top (CH4) ECS band: the linear-molecule geometry with
+    l_i = l_f = 0 (lbl_lineshape_voigt_ecs_sphtop.cpp parity)."""
+    return make_linear_band(
+        lines, ecs, li=0.0, lf=0.0,
+        erot_fn=_rigid_erot(TOP_B0_KAYCM[isotope]),
+        mass=mass, mass_other=mass_other,
+    )

@@ -30,7 +30,18 @@ import numpy as np
 
 @functools.lru_cache(maxsize=None)
 def _tournament(n: int):
-    """Round-robin schedule: list of rounds, each a list of disjoint (p,q)."""
+    """Round-robin schedule: list of rounds, each a list of disjoint (p,q).
+
+    Odd n uses the standard bye construction — schedule n+1 players and
+    drop pairs involving the dummy — so ALL C(n,2) pairs are covered (the
+    naive n-1-round circle method silently skips pairs for odd n, which
+    left some Jacobi off-diagonals never rotated and stalled convergence).
+    """
+    if n % 2:
+        return [
+            [(p, q) for (p, q) in r if p < n and q < n]
+            for r in _tournament(n + 1)
+        ]
     players = list(range(n))
     rounds = []
     for _ in range(n - 1):

@@ -267,3 +267,122 @@ def test_ecs_band_in_clearsky_pipeline():
     i60 = np.argmin(np.abs(np.asarray(f) - 60.3e9))
     assert 200.0 < bt[i60] < 265.0
     assert bt[0] > bt[i60] and bt[0] > 280.0
+
+
+def nh3_like_lines(nJ=6, Ks=(0.0, 3.0)):
+    """Synthetic symmetric-top rotational band: R-branch lines per K.
+
+    Includes the physical D_JK centrifugal K-splitting so lines in
+    different K sub-bands are NOT exactly degenerate (exact degeneracy
+    across decoupled sub-bands makes the complex-symmetric eigenproblem
+    ill-posed and does not occur for real symmetric tops)."""
+    from arts_tpu.lbl.ecs import TOP_B0_KAYCM, _rigid_erot
+
+    erot = _rigid_erot(TOP_B0_KAYCM["NH3-4111"])
+    djk = 0.03 * 1e2 * const.c * const.h  # D_JK ~ 0.03 cm^-1 (exaggerated)
+    lines = []
+    for K in Ks:
+        for J in range(int(K) + 1, int(K) + 1 + nJ):
+            # R branch: (Ji = J+1) <- (Jf = J), same K
+            elow = erot(float(J)) - djk * J * (J + 1) * K * K * 1e-2
+            eup = erot(J + 1.0) - djk * (J + 1) * (J + 2) * K * K * 1e-2
+            f0 = (eup - elow) / const.h
+            lines.append(
+                dict(
+                    f0=f0, a=2e-8 / (J + 1.0), e0=elow,
+                    gu=2.0 * (J + 1) + 1.0, Ji=float(J + 1), Jf=float(J),
+                    K=float(K), g0=(2.0e4, 0.75), t0=296.0,
+                )
+            )
+    return lines
+
+
+def test_stotop_no_coupling_limit():
+    from arts_tpu.lbl.ecs import TRAN2011_CO2, make_stotop_band
+
+    lines = nh3_like_lines()
+    ecs0 = dict(TRAN2011_CO2, scaling=(0.0, 0.0))
+    band = make_stotop_band(lines, ecs=ecs0)
+    f0s = np.array([l["f0"] for l in lines])
+    f = jnp.linspace(f0s.min() * 0.9, f0s.max() * 1.1, 2001)
+    T, P, vmr = 260.0, 6e4, 1e-5
+    a_ecs = np.asarray(ecs_absorption(f, band, PF, 0, T, P, vmr))
+
+    cat = build_catalog([
+        dict(f0=l["f0"], a=l["a"], e0=l["e0"], gu=l["gu"], gl=1.0,
+             iso_mass=17.027, iso_ratio=1.0, spec_idx=0, iso_idx=0,
+             band_idx=0, t0=296.0, cutoff=np.inf,
+             ls={"bath": {"G0": (Law.T1, [l["g0"][0], l["g0"][1]])}})
+        for l in lines])
+    a_ref = np.asarray(absorption(f, cat, PF, T, P, jnp.asarray([vmr]),
+                                  no_negative_absorption=False))
+    assert np.abs(a_ecs - a_ref).max() / a_ref.max() < 2e-3
+
+
+def test_stotop_k_subbands_are_independent():
+    """delta-K = 0 coupling: the two-K band must equal the sum of the two
+    single-K bands minus the overlapping Voigt baseline — i.e. computing
+    the full band or each K sub-band separately gives the same result."""
+    from arts_tpu.lbl.ecs import TRAN2011_CO2, make_stotop_band
+
+    all_lines = nh3_like_lines(nJ=5, Ks=(0.0, 3.0))
+    k0 = [l for l in all_lines if l["K"] == 0.0]
+    k3 = [l for l in all_lines if l["K"] == 3.0]
+    T, P = 260.0, 8e4
+    f0s = np.array([l["f0"] for l in all_lines])
+    f = jnp.linspace(f0s.min() * 0.9, f0s.max() * 1.1, 1501)
+
+    a_full = np.asarray(ecs_absorption(
+        f, make_stotop_band(all_lines, ecs=TRAN2011_CO2), PF, 0, T, P, 1e-5))
+    a_k0 = np.asarray(ecs_absorption(
+        f, make_stotop_band(k0, ecs=TRAN2011_CO2), PF, 0, T, P, 1e-5))
+    a_k3 = np.asarray(ecs_absorption(
+        f, make_stotop_band(k3, ecs=TRAN2011_CO2), PF, 0, T, P, 1e-5))
+    np.testing.assert_allclose(a_full, a_k0 + a_k3, rtol=2e-5, atol=1e-30)
+
+
+def test_stotop_mixing_changes_shape_conserving_area():
+    from arts_tpu.lbl.ecs import TRAN2011_CO2, make_stotop_band
+
+    lines = nh3_like_lines(nJ=8, Ks=(1.0,))
+    band_m = make_stotop_band(lines, ecs=TRAN2011_CO2)
+    band_0 = make_stotop_band(lines, ecs=dict(TRAN2011_CO2, scaling=(0.0, 0.0)))
+    f0s = np.array([l["f0"] for l in lines])
+    f = jnp.linspace(f0s.min() * 0.5, f0s.max() * 1.5, 6001)
+    T, P = 250.0, 1.013e5
+    am = np.asarray(ecs_absorption(f, band_m, PF, 0, T, P, 1.0))
+    a0 = np.asarray(ecs_absorption(f, band_0, PF, 0, T, P, 1.0))
+    assert np.all(np.isfinite(am))
+    h_k = const.h / const.k
+    w_rad = np.asarray(f) * -np.expm1(-h_k * np.asarray(f) / T)
+    np.testing.assert_allclose(
+        np.trapezoid(am / w_rad, np.asarray(f)),
+        np.trapezoid(a0 / w_rad, np.asarray(f)), rtol=1e-2)
+    assert np.abs(am - a0).max() / a0.max() > 0.002
+
+
+def test_sphtop_no_coupling_limit():
+    from arts_tpu.lbl.ecs import TRAN2011_CO2, make_sphtop_band, _rigid_erot, TOP_B0_KAYCM
+
+    erot = _rigid_erot(TOP_B0_KAYCM["CH4-211"])
+    lines = [
+        dict(f0=(erot(J + 1.0) - erot(J)) / const.h, a=1e-8 / (J + 1),
+             e0=erot(float(J)), gu=2.0 * (J + 1) + 1.0,
+             Ji=float(J + 1), Jf=float(J), g0=(1.8e4, 0.7), t0=296.0)
+        for J in range(0, 8)
+    ]
+    ecs0 = dict(TRAN2011_CO2, scaling=(0.0, 0.0))
+    band = make_sphtop_band(lines, ecs=ecs0)
+    f0s = np.array([l["f0"] for l in lines])
+    f = jnp.linspace(f0s.min() * 0.9, f0s.max() * 1.1, 1501)
+    T, P, vmr = 220.0, 5e4, 1.7e-6
+    a_ecs = np.asarray(ecs_absorption(f, band, PF, 0, T, P, vmr))
+    cat = build_catalog([
+        dict(f0=l["f0"], a=l["a"], e0=l["e0"], gu=l["gu"], gl=1.0,
+             iso_mass=16.031, iso_ratio=1.0, spec_idx=0, iso_idx=0,
+             band_idx=0, t0=296.0, cutoff=np.inf,
+             ls={"bath": {"G0": (Law.T1, [l["g0"][0], l["g0"][1]])}})
+        for l in lines])
+    a_ref = np.asarray(absorption(f, cat, PF, T, P, jnp.asarray([vmr]),
+                                  no_negative_absorption=False))
+    assert np.abs(a_ecs - a_ref).max() / a_ref.max() < 2e-3

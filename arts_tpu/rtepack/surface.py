@@ -16,6 +16,7 @@ All functions are plain JAX: differentiable wrt reflectance / refractive
 index / emission, batched over leading axes.
 """
 
+import jax
 import jax.numpy as jnp
 
 _SIGN_V = jnp.array([1.0, 1.0, 1.0, -1.0])
@@ -184,3 +185,89 @@ def specular_radiance(I_in, J, rv, rh, k_inc, n_surface):
     """I_out = J + R_spec (I_in - J) (rtepack_surface.cc:210-218)."""
     R = fresnel_reflectance_specular(rv, rh, k_inc, n_surface)
     return J + jnp.einsum("...ij,...j->...i", R, I_in - J)
+
+
+def nonspecular_radiance_from_patches(
+    coords_latlon,
+    patch_alt,
+    sources,
+    J,
+    rv,
+    rh,
+    pos_latlon,
+    h_pos,
+    n_surface,
+    k_out,
+    radius,
+    dlat_deg,
+    dlon_deg,
+):
+    """Accumulate non-specular scattered radiance from visible surface
+    patches (rough-terrain reflection).
+
+    Parity: rtepack::nonspecular_radiance_from_patches
+    (rtepack_surface.cc:220-320) — discretizes
+        L_out = J + (1/pi) sum_j R(k_j, k_out) L_j cos(theta_P) dOmega_j
+    with dOmega_j = A_j cos(alpha_j) / r_j^2.  The reference loops over
+    patches; here the sum is one batched evaluation (vmap-able, and
+    differentiable wrt sources/J/Fresnel amplitudes).
+
+    coords_latlon: [P, 2] patch (lat, lon) [deg]; patch_alt: [P] heights;
+    sources: [P, 4] Stokes radiance leaving each patch toward the scatter
+    point; J: [4] thermal emission at the scatter point; pos_latlon /
+    h_pos: scatter point; n_surface / k_out: [3] unit vectors (ECEF);
+    radius: spherical planet radius; dlat/dlon: patch grid spacing [deg].
+    """
+    lat_j = jnp.deg2rad(coords_latlon[:, 0])
+    lon_j = jnp.deg2rad(coords_latlon[:, 1])
+    r_j = radius + patch_alt
+    pos_j = jnp.stack(
+        [
+            r_j * jnp.cos(lat_j) * jnp.cos(lon_j),
+            r_j * jnp.cos(lat_j) * jnp.sin(lon_j),
+            r_j * jnp.sin(lat_j),
+        ],
+        axis=-1,
+    )  # [P, 3]
+    lat_p = jnp.deg2rad(pos_latlon[0])
+    lon_p = jnp.deg2rad(pos_latlon[1])
+    r_p = radius + h_pos
+    pos_P = jnp.stack(
+        [
+            r_p * jnp.cos(lat_p) * jnp.cos(lon_p),
+            r_p * jnp.cos(lat_p) * jnp.sin(lon_p),
+            r_p * jnp.sin(lat_p),
+        ]
+    )
+
+    rvec = pos_P[None, :] - pos_j  # [P, 3]
+    r = jnp.linalg.norm(rvec, axis=-1)
+    ok_r = r > 1.0
+    r_safe = jnp.where(ok_r, r, 1.0)
+    k_inc = rvec / r_safe[:, None]
+
+    n_j = jnp.stack(
+        [
+            jnp.cos(lat_j) * jnp.cos(lon_j),
+            jnp.cos(lat_j) * jnp.sin(lon_j),
+            jnp.sin(lat_j),
+        ],
+        axis=-1,
+    )
+    cos_alpha = jnp.sum(n_j * k_inc, axis=-1)  # emission angle at patch j
+    cos_theta = -jnp.sum(n_surface[None, :] * k_inc, axis=-1)  # incidence at P
+    vis = ok_r & (cos_alpha > 0.0) & (cos_theta > 0.0)
+
+    A_j = (
+        r_j * r_j
+        * jnp.abs(jnp.deg2rad(dlat_deg) * jnp.deg2rad(dlon_deg))
+        * jnp.abs(jnp.cos(lat_j))
+    )
+    dOmega = A_j * cos_alpha / (r_safe * r_safe)
+
+    R = jax.vmap(
+        lambda ki: fresnel_reflectance_nonspecular(rv, rh, ki, k_out, n_surface)
+    )(k_inc)  # [P, 4, 4]
+    contrib = jnp.einsum("pij,pj->pi", R, sources)
+    wgt = jnp.where(vis, cos_theta * dOmega / jnp.pi, 0.0)
+    return J + jnp.sum(wgt[:, None] * contrib, axis=0)

@@ -248,3 +248,57 @@ def test_polarized_reflecting_surface():
     # opaque line center: equilibrium closure to B(T), Q/U/V -> 0
     np.testing.assert_allclose(I[i_line, 0], B[i_line], rtol=1e-6)
     np.testing.assert_allclose(I[i_line, 1:], 0.0, atol=1e-9 * B[i_line])
+
+
+def test_nonspecular_patches():
+    """Patch-integral rough-surface scattering (rtepack::
+    nonspecular_radiance_from_patches parity): Lambertian-like closure —
+    a hemisphere of patches all emitting J with perfect reflection
+    amplitudes integrates to I ~ J + albedo-weighted J; and behind-surface
+    patches contribute nothing."""
+    from arts_tpu.rtepack.surface import nonspecular_radiance_from_patches
+
+    radius = 6.371e6
+    # a north-facing slope at (0, 0), 2000 m, scattering radiance emitted
+    # by plains patches to its north (the geometry the reference's patch
+    # model targets: radial patch normals can only illuminate a receiver
+    # above them, whose own receiving surface must then be tilted)
+    lats = np.linspace(0.05, 0.6, 12)
+    lons = np.linspace(-0.3, 0.3, 13)
+    LA, LO = np.meshgrid(lats, lons, indexing="ij")
+    coords = jnp.asarray(np.stack([LA.ravel(), LO.ravel()], -1))
+    P = coords.shape[0]
+    alts = jnp.zeros((P,))
+    sources = jnp.zeros((P, 4)).at[:, 0].set(1.0)
+    J = jnp.asarray([0.5, 0.0, 0.0, 0.0])
+    # ECEF at (0,0): +x is up (radial), +z is north -> north-facing cliff
+    n = jnp.asarray([0.0, 0.0, 1.0])
+    k_out = jnp.asarray(np.array([0.3, 0.0, 0.95]) / np.hypot(0.3, 0.95))
+    rv = jnp.asarray(0.7 + 0.0j)
+    rh = jnp.asarray(0.7 + 0.0j)
+    args = (jnp.asarray([0.0, 0.0]), 2000.0, n, k_out, radius,
+            float(lats[1] - lats[0]), float(lons[1] - lons[0]))
+    out = np.asarray(
+        nonspecular_radiance_from_patches(
+            coords, alts, sources, J, rv, rh, *args
+        )
+    )
+    assert np.all(np.isfinite(out))
+    assert out[0] > float(J[0])  # scattered light adds to the emission
+    # zero-reflectance limit: pure emission
+    out0 = np.asarray(
+        nonspecular_radiance_from_patches(
+            coords, alts, sources, J, 0.0j, 0.0j, *args
+        )
+    )
+    np.testing.assert_allclose(out0, np.asarray(J), atol=1e-14)
+    # patches behind the cliff face (south) must not contribute
+    coords_s = jnp.asarray(
+        np.stack([-LA.ravel(), LO.ravel()], -1)
+    )
+    outs = np.asarray(
+        nonspecular_radiance_from_patches(
+            coords_s, alts, sources, J, rv, rh, *args
+        )
+    )
+    np.testing.assert_allclose(outs, np.asarray(J), atol=1e-14)

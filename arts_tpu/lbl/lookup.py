@@ -42,34 +42,44 @@ class AbsLookupTable:
     xsec: jax.Array  # [NT, NW, P, F] cross section per molecule [m^2]
     spec_idx: int = dataclasses.field(metadata=dict(static=True), default=0)
 
-    def absorption(self, T, P, vmr):
-        """alpha [F] at one point (differentiable in T, P, vmr)."""
+    def absorption(self, T, P, vmr, t_order: int = 1, w_order: int = 1,
+                   p_order: int = 1):
+        """alpha [F] at one point (differentiable in T, P, vmr).
 
-        def locate(grid, x):
-            i1 = jnp.clip(jnp.searchsorted(grid, x), 1, grid.shape[0] - 1)
-            i0 = i1 - 1
-            w = (x - grid[i0]) / (grid[i1] - grid[i0])
-            return i0, i1, jnp.clip(w, 0.0, 1.0)
+        t/w/p_order: Lagrange interpolation order per axis (the reference's
+        configurable temperature/water/pressure orders,
+        lookup_map.h:73-91); order 1 is multilinear.  Orders are clamped
+        to the available grid sizes.
+        """
+        from ..ops.interp import lagrange_weights
 
-        lp = jnp.log(P)
-        pi0, pi1, pw = locate(self.log_p_grid, lp)
-        # local references at this pressure
-        tr = (1 - pw) * self.t_ref[pi0] + pw * self.t_ref[pi1]
-        wr = (1 - pw) * self.w_ref[pi0] + pw * self.w_ref[pi1]
-        dt = T - tr
-        ti0, ti1, tw = locate(self.t_pert, dt)
-        wfac = vmr[self.spec_idx] / jnp.maximum(wr, 1e-30)
-        wi0, wi1, ww = locate(self.w_pert, wfac)
+        p_order = min(p_order, self.log_p_grid.shape[0] - 1)
+        t_order = min(t_order, self.t_pert.shape[0] - 1)
+        w_order = min(w_order, self.w_pert.shape[0] - 1)
+
+        lp = jnp.asarray(jnp.log(P))
+        pi0, pw = lagrange_weights(self.log_p_grid, lp, p_order)
+        # local references at this pressure (same pressure weights)
+        tr = sum(
+            pw[..., c] * self.t_ref[pi0 + c] for c in range(p_order + 1)
+        )
+        wr = sum(
+            pw[..., c] * self.w_ref[pi0 + c] for c in range(p_order + 1)
+        )
+        dt = jnp.asarray(T - tr)
+        ti0, tw = lagrange_weights(self.t_pert, dt, t_order)
+        wfac = jnp.asarray(vmr[self.spec_idx] / jnp.maximum(wr, 1e-30))
+        wi0, ww = lagrange_weights(self.w_pert, wfac, w_order)
 
         x = self.xsec
+        xs = 0.0
+        for a in range(t_order + 1):
+            for b in range(w_order + 1):
+                for c in range(p_order + 1):
+                    xs = xs + (
+                        tw[..., a] * ww[..., b] * pw[..., c]
+                    ) * x[ti0 + a, wi0 + b, pi0 + c]
 
-        def gp(ti, wi):
-            return (1 - pw) * x[ti, wi, pi0] + pw * x[ti, wi, pi1]
-
-        def gw(ti):
-            return (1 - ww) * gp(ti, wi0) + ww * gp(ti, wi1)
-
-        xs = (1 - tw) * gw(ti0) + tw * gw(ti1)  # [F]
         n = P / (const.k * T)
         return xs * n * vmr[self.spec_idx]
 

@@ -72,3 +72,37 @@ def test_lookup_differentiable():
     )
     g = jax.grad(lambda T: tbl.absorption(T, 5e4, jnp.asarray(VMR)).sum())(273.3)
     assert np.isfinite(float(g)) and float(g) != 0.0
+
+
+def test_lookup_lagrange_orders():
+    """Higher interpolation orders reduce mid-grid error vs direct LBL
+    (lookup_map.h per-axis Lagrange order parity)."""
+    f = jnp.linspace(150e9, 400e9, 64)
+    npl = 12
+    p_grid = jnp.asarray(np.logspace(5, 3, npl))
+    t_ref = jnp.linspace(290.0, 220.0, npl)
+    w_ref = jnp.asarray(0.01 * (np.asarray(p_grid) / 1e5))
+    vmr_ref = jnp.asarray(VMR)
+    t_pert = jnp.asarray([-20.0, -10.0, 0.0, 10.0, 20.0])
+    w_pert = jnp.asarray([0.25, 0.5, 1.0, 2.0, 4.0])
+    tbl = train_lookup(
+        f, CAT, PF, p_grid, t_ref, w_ref, vmr_ref, 0, t_pert, w_pert
+    )
+
+    P = 3.1e4
+    lp = float(jnp.log(P))
+    logs = np.log(np.sort(np.asarray(p_grid)))
+    tr = float(np.interp(lp, logs, np.asarray(t_ref)[::-1]))
+    wr = float(np.interp(lp, logs, np.asarray(w_ref)[::-1]))
+    T = tr + 4.7
+    vmr = vmr_ref.at[0].set(wr * 1.3)
+    truth = np.asarray(
+        absorption(f, CAT, PF, T, P, vmr, no_negative_absorption=False)
+    )
+    scale = np.abs(truth).max()
+    e1 = np.abs(np.asarray(tbl.absorption(T, P, vmr)) - truth).max()
+    e3 = np.abs(
+        np.asarray(tbl.absorption(T, P, vmr, t_order=3, w_order=2, p_order=3))
+        - truth
+    ).max()
+    assert e3 < e1 * 0.8 or e3 < 1e-3 * scale

@@ -122,7 +122,7 @@ def gas_absorption_profile(scene: AllskyScene, f_grid, block: int = 256,
     jax.jit,
     static_argnames=(
         "nquad", "nleg", "nfourier", "mu0", "phis", "block", "backend",
-        "fast_linalg",
+        "fast_linalg", "thermal",
     ),
 )
 def simulate_allsky(
@@ -138,6 +138,7 @@ def simulate_allsky(
     backend: str = "xla",
     fast_linalg: bool = False,
     k_gas=None,
+    thermal: bool = True,
 ):
     """DISORT radiance/flux field for a vertical profile of scene.atm.
 
@@ -179,11 +180,18 @@ def simulate_allsky(
     )  # [F, L, NLeg]
     leg = leg.at[..., 0].set(1.0)
 
-    b_levels = planck(f_grid[:, None], pts.t[None, :])  # [F, Z]
-    b_surf = planck(f_grid, scene.surface_temperature)
-    b_top = planck(
-        f_grid, jnp.asarray(const.cosmic_microwave_background_temperature)
-    )
+    if thermal:
+        b_levels = planck(f_grid[:, None], pts.t[None, :])  # [F, Z]
+        b_surf = planck(f_grid, scene.surface_temperature)
+        b_top = planck(
+            f_grid, jnp.asarray(const.cosmic_microwave_background_temperature)
+        )
+    else:
+        # solar-band run (the Czarnecki split: thermal emission handled by
+        # a separate thermal-band call)
+        b_levels = jnp.zeros((F, Z), f_grid.dtype)
+        b_surf = jnp.zeros((F,), f_grid.dtype)
+        b_top = jnp.zeros((F,), f_grid.dtype)
 
     fbeam_arr = jnp.broadcast_to(jnp.asarray(fbeam, f_grid.dtype), (F,))
     zerF = jnp.zeros((F,), f_grid.dtype)

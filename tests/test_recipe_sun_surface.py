@@ -68,3 +68,37 @@ def test_surface_field():
     )
     p2 = sf2.at(5.0, 10.0)
     np.testing.assert_allclose(float(p2["temperature"]), 286.0, rtol=1e-12)
+
+
+def test_spectral_atmospheric_flux_recipe():
+    """Czarnecki two-band recipe (pyarts3.recipe.SpectralAtmosphericFlux
+    parity): thermal-only when the sun is below the horizon; adding the
+    solar band increases the downwelling flux; mu0 follows the great-
+    circle angle to the sub-solar point."""
+    import dataclasses as dc
+
+    from arts_tpu.recipe import SpectralAtmosphericFlux
+    from arts_tpu.sun import sun_blackbody
+
+    scene = allsky_scene()
+    f_grid = jnp.asarray(np.asarray(F_GRID)[::20])
+    sun = sun_blackbody(f_grid)
+
+    # sun directly overhead
+    r = SpectralAtmosphericFlux(
+        scene=scene, nquad=8, sun=sun,
+        atm_latitude=0.0, solar_latitude=0.0, solar_longitude=0.0,
+    )
+    assert abs(r._mu0() - 1.0) < 1e-12
+    out = r(f_grid)
+    # night side: thermal only
+    rn = dc.replace(r, solar_longitude=180.0)
+    assert rn._mu0() == 0.0
+    out_n = rn(f_grid)
+    assert np.all(np.asarray(out["spectral_down"]) >=
+                  np.asarray(out_n["spectral_down"]) - 1e-30)
+    assert (np.asarray(out["spectral_down"]).sum()
+            > 1.5 * np.asarray(out_n["spectral_down"]).sum())
+    # 60 deg solar zenith
+    r60 = dc.replace(r, solar_longitude=60.0)
+    np.testing.assert_allclose(r60._mu0(), 0.5, atol=1e-12)

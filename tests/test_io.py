@@ -162,3 +162,38 @@ def test_o2_local_quanta_and_zeeman_g():
     assert l["Nu"] == 9.0 and l["Jl"] == 8.0 and l["a"] == 1.0
     assert l["gu"] == 19.0
     assert np.isfinite(gus[0]) and np.isfinite(gls[0])
+
+
+def test_jpl_cat_reader():
+    from arts_tpu import constants as const
+    from arts_tpu.io.jpl import catalog_from_cat, parse_cat_line, read_cat
+
+    # H2O 3(1,3)-2(2,0) at 183.31 GHz, JPL tag 18003, fixed widths
+    # [F13.4,2F8.4,I2,F10.4,I3,I7,I4] (lbl_jpl.cpp:69)
+    row = (
+        "  183310.0870  0.0010 -3.2566 3  136.1639  7 -180031404"
+        " 3 1 3          2 2 0"
+    )
+    r = parse_cat_line(row)
+    assert r.tag == 18003 and r.g_upp == 7 and r.qnfmt == 1404
+    np.testing.assert_allclose(r.f0, 183310.0870e6)
+    np.testing.assert_allclose(r.s, 10.0 ** (-3.2566) * 1e-12)
+    np.testing.assert_allclose(r.e0, 136.1639 * const.h * 100 * const.c)
+
+    lines = read_cat([row], ["H2O"])
+    assert len(lines) == 1
+    l = lines[0]
+    assert l["t0"] == 300.0 and l["spec_idx"] == 0
+    assert l["ls"]["bath"]["G0"][1] == [25e3, 0.75]
+    assert l["a"] > 0 and np.isfinite(l["a"])
+
+    # integrates into the LBL pipeline with a visible 183 GHz peak
+    cat = catalog_from_cat([row], ["H2O"])
+    pf = rigid_rotor_table(1, 179.639, 1.5)
+    f = jnp.linspace(150e9, 210e9, 121)
+    a = np.asarray(absorption(f, cat, pf, 280.0, 5e4, jnp.asarray([0.01])))
+    assert np.all(np.isfinite(a)) and a.max() > 0
+    assert abs(float(f[np.argmax(a)]) - 183.31e9) < 1e9
+
+    # unknown tags are skipped, not fatal
+    assert read_cat([row.replace("-18003", "-99999")], ["H2O"]) == []

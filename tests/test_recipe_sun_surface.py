@@ -97,8 +97,22 @@ def test_spectral_atmospheric_flux_recipe():
     out_n = rn(f_grid)
     assert np.all(np.asarray(out["spectral_down"]) >=
                   np.asarray(out_n["spectral_down"]) - 1e-30)
-    assert (np.asarray(out["spectral_down"]).sum()
-            > 1.5 * np.asarray(out_n["spectral_down"]).sum())
+    # at microwave frequencies the real sun is a small (solid-angle
+    # diluted, ~2.2e-5) but strictly positive addition; at TOA the added
+    # downwelling is exactly the direct beam mu0 * fbeam
+    dn = np.asarray(out["spectral_down"]) - np.asarray(out_n["spectral_down"])
+    assert dn.sum() > 0
+    fbeam = np.asarray(sun.toa_flux())
+    np.testing.assert_allclose(dn[:, 0], r._mu0() * fbeam, rtol=1e-9)
+    # a sun bright enough to dominate scales the solar band linearly
+    bright = dc.replace(sun, spectrum=sun.spectrum * 1e6)
+    rb = dc.replace(r, sun=bright)
+    out_b = rb(f_grid)
+    dnb = np.asarray(out_b["spectral_down"]) - np.asarray(out_n["spectral_down"])
+    assert dnb.sum() > 1.5 * np.asarray(out_n["spectral_down"]).sum()
+    # atol: dn underflows to 0 against the thermal flux in f64 where the
+    # atmosphere is opaque; dnb there is ~1e-24
+    np.testing.assert_allclose(dnb, dn * 1e6, rtol=1e-6, atol=1e-20)
     # 60 deg solar zenith
     r60 = dc.replace(r, solar_longitude=60.0)
     np.testing.assert_allclose(r60._mu0(), 0.5, atol=1e-12)

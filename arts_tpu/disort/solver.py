@@ -184,6 +184,124 @@ def _solve_block_tridiag_structured(Gp, Gm, Ek, rhs, Rsurf, fast_linalg=False):
     return Xs
 
 
+def _assemble_bvp_blocks(Gp, Gm, Ek, Rsurf):
+    """Materialize the DISORT BVP block-tridiagonal from eigen factors.
+
+    Same block layout as _solve_block_tridiag_structured's docstring:
+    per block row l the A rows (first N) couple X_{l-1} via U_{l-1} =
+    [GmE, Gp] and X_l via sgn_l [Gm, GpE]; the B rows couple X_l via
+    [GpE, Gm] (surface-reflected on the last layer) and X_{l+1} via
+    -[Gp, GmE].
+
+    Gp/Gm: [M, L, N, N]; Ek: [M, L, N]; Rsurf: [M, N, N].
+    Returns (Adn, Adiag, Aup) each [L, M, 2N, 2N].
+    """
+    M, L, N, _ = Gp.shape
+    GpE = Gp * Ek[..., None, :]
+    GmE = Gm * Ek[..., None, :]
+    U = jnp.concatenate([GmE, Gp], -1)  # [M, L, N, 2N]
+    T = jnp.concatenate([Gp, GmE], -1)
+    sgn = jnp.where(jnp.arange(L) == 0, 1.0, -1.0).astype(Gp.dtype)
+    A_diag = sgn[None, :, None, None] * jnp.concatenate([Gm, GpE], -1)
+    B_diag = jnp.concatenate([GpE, Gm], -1)
+    RU = jnp.einsum("mij,mjk->mik", Rsurf, U[:, -1])
+    B_diag = B_diag.at[:, -1].add(-RU)
+    Adiag = jnp.concatenate([A_diag, B_diag], -2)  # [M, L, 2N, 2N]
+    zeros = jnp.zeros_like(U)
+    Adn = jnp.concatenate(
+        [jnp.concatenate([zeros[:, :1], U[:, :-1]], 1), zeros], -2
+    )
+    Aup = jnp.concatenate(
+        [zeros, jnp.concatenate([-T[:, 1:], zeros[:, :1]], 1)], -2
+    )
+    mv = lambda a: jnp.moveaxis(a, 1, 0)
+    return mv(Adn), mv(Adiag), mv(Aup)
+
+
+def solve_block_tridiag_cr(Adn, Adiag, Aup, rhs, fast_linalg=True):
+    """Block cyclic reduction for Adn[l] X[l-1] + Adiag[l] X[l] + Aup[l] X[l+1] = rhs[l].
+
+    The Thomas scan (`_solve_block_tridiag*`) is latency-bound on TPU: 60
+    sequential while-loop steps whose per-step compute is ~1e-2 of the
+    step wall time.  Cyclic reduction eliminates all odd blocks at once —
+    ceil(log2 L) fully batched levels of (solve, matmul) over the whole
+    (layer x batch) extent — trading ~3x flops for ~10x fewer serial
+    stages.  All ops are plain jnp (differentiable); no pivoting (same
+    contract as solve_unrolled: DISORT's scaled BVP blocks are strongly
+    diagonal).
+
+    Leading axis is the block index; trailing [..., B, B] / [..., B].
+    Adn[0] and Aup[-1] must be zero blocks.
+    """
+    B = Adiag.shape[-1]
+    _slv = (
+        solve_unrolled
+        if fast_linalg
+        else jnp.linalg.solve
+    )
+
+    levels = []
+    L_, D_, U_, r_ = Adn, Adiag, Aup, rhs
+    n = D_.shape[0]
+    while n > 1:
+        # odd blocks j = 1, 3, ... are eliminated into their even
+        # neighbours.  When n is even the last odd j = n-1 has no right
+        # neighbour; Aup[-1] = 0 keeps every formula valid with no pad.
+        Lo, Do, Uo, ro = L_[1::2], D_[1::2], U_[1::2], r_[1::2]
+        m = Do.shape[0]
+        sol = _slv(
+            Do, jnp.concatenate([Lo, Uo, ro[..., None]], -1)
+        )  # D_j^{-1} [L_j | U_j | r_j]
+        DL, DU, Dr = sol[..., :B], sol[..., B : 2 * B], sol[..., 2 * B]
+        levels.append((DL, DU, Dr))
+
+        Le, De, Ue, re = L_[0::2], D_[0::2], U_[0::2], r_[0::2]
+        ne = De.shape[0]
+        # left odd neighbour of even i = 2k is odd index k-1 (none for k=0)
+        zB = jnp.zeros_like(DL[:1])
+        zv = jnp.zeros_like(Dr[:1])
+        DLl = jnp.concatenate([zB, DL], 0)[:ne]
+        DUl = jnp.concatenate([zB, DU], 0)[:ne]
+        Drl = jnp.concatenate([zv, Dr], 0)[:ne]
+        # right odd neighbour of even i = 2k is odd index k (none when
+        # 2k = n-1 and n odd); pad with zeros at the tail
+        DLr = jnp.concatenate([DL, zB], 0)[:ne] if m < ne else DL[:ne]
+        DUr = jnp.concatenate([DU, zB], 0)[:ne] if m < ne else DU[:ne]
+        Drr = jnp.concatenate([Dr, zv], 0)[:ne] if m < ne else Dr[:ne]
+
+        mm = lambda a, b: jnp.einsum("...ij,...jk->...ik", a, b)
+        mv = lambda a, b: jnp.einsum("...ij,...j->...i", a, b)
+        L_ = -mm(Le, DLl)
+        U_ = -mm(Ue, DUr)
+        D_ = De - mm(Le, DUl) - mm(Ue, DLr)
+        r_ = re - mv(Le, Drl) - mv(Ue, Drr)
+        n = ne
+
+    x = _slv(D_[0], r_[0][..., None])[..., 0][None]  # [1, ..., B]
+
+    for DL, DU, Dr in reversed(levels):
+        ne = x.shape[0]
+        m = DL.shape[0]
+        # x_odd[k] (global 2k+1) = Dr[k] - DL[k] x_even[k] - DU[k] x_even[k+1]
+        xe_r = (
+            jnp.concatenate([x[1:], jnp.zeros_like(x[:1])], 0)[:m]
+            if m >= ne
+            else x[1 : m + 1]
+        )
+        xo = (
+            Dr
+            - jnp.einsum("...ij,...j->...i", DL, x[:m])
+            - jnp.einsum("...ij,...j->...i", DU, xe_r)
+        )
+        # interleave evens and odds back to this level's ordering
+        ntot = ne + m
+        out = jnp.zeros((ntot,) + x.shape[1:], x.dtype)
+        out = out.at[0::2].set(x)
+        out = out.at[1::2].set(xo)
+        x = out
+    return x
+
+
 def _solve_block_tridiag(Adn, Adiag, Aup, rhs, fast_linalg=False):
     """Thomas elimination for Adn[l] X[l-1] + Adiag[l] X[l] + Aup[l] X[l+1] = rhs[l].
 
@@ -439,17 +557,26 @@ def disort(
 
     rhs = jnp.concatenate([A_rhs, B_rhs], -1)
 
-    # scan over layers with in-scan block assembly (see
-    # _solve_block_tridiag_structured: streams Gp/Gm/Ek instead of
-    # materialized [L, 2N, 2N] blocks)
-    X = _solve_block_tridiag_structured(
-        jnp.moveaxis(Gp, 1, 0),
-        jnp.moveaxis(Gm, 1, 0),
-        jnp.moveaxis(Ek, 1, 0),
-        jnp.moveaxis(rhs, 1, 0),
-        Rsurf_m,
-        fast_linalg,
-    )  # [L, M, 2N]
+    if fast_linalg:
+        # cyclic reduction: ceil(log2 L) fully batched levels instead of
+        # L sequential scan steps (the scan is latency-bound on TPU; its
+        # per-step compute is ~1% of the step wall time)
+        Adn, Adiag, Aup = _assemble_bvp_blocks(Gp, Gm, Ek, Rsurf_m)
+        X = solve_block_tridiag_cr(
+            Adn, Adiag, Aup, jnp.moveaxis(rhs, 1, 0), fast_linalg
+        )  # [L, M, 2N]
+    else:
+        # scan over layers with in-scan block assembly (see
+        # _solve_block_tridiag_structured: streams Gp/Gm/Ek instead of
+        # materialized [L, 2N, 2N] blocks)
+        X = _solve_block_tridiag_structured(
+            jnp.moveaxis(Gp, 1, 0),
+            jnp.moveaxis(Gm, 1, 0),
+            jnp.moveaxis(Ek, 1, 0),
+            jnp.moveaxis(rhs, 1, 0),
+            Rsurf_m,
+            fast_linalg,
+        )  # [L, M, 2N]
     Cp = jnp.moveaxis(X[..., :N], 0, 1)  # [M, L, N]
     Cm = jnp.moveaxis(X[..., N:], 0, 1)
 

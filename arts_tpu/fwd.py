@@ -54,7 +54,9 @@ class ClearskyScene:
     ecs_bands: tuple = ()
 
 
-@functools.partial(jax.jit, static_argnames=("background", "block"))
+@functools.partial(
+    jax.jit, static_argnames=("background", "block", "rte_option")
+)
 def simulate_clearsky(
     scene: ClearskyScene,
     f_grid,
@@ -64,6 +66,7 @@ def simulate_clearsky(
     block: int = 256,
     path_za=None,
     path_aa=None,
+    rte_option: str = "constant",
 ):
     """Clear-sky spectral radiance [W/(m^2 Hz sr)] seen by the observer.
 
@@ -73,6 +76,8 @@ def simulate_clearsky(
     path_za/path_aa: per-point LOS angles [deg]; with scene.atm.wind set,
     absorption is evaluated on the per-point Doppler-shifted grid
     (parity: freq_grid_pathFromPath, src/m_frequency_grid.cc).
+    rte_option: layer discretization, "constant" | "lintau" | "linprop"
+    (the reference's rte_option WSV / TransmittanceOption enum).
     """
     pts = scene.atm.at(path_alt)  # batched over path points
 
@@ -135,6 +140,14 @@ def simulate_clearsky(
     else:
         I0 = cmb
 
+    if rte_option == "lintau":
+        from .rtepack.emission import emission_unpolarized_linsrc
+
+        return emission_unpolarized_linsrc(k, J, r, I0)
+    if rte_option == "linprop":
+        from .rtepack.emission import emission_unpolarized_linprop
+
+        return emission_unpolarized_linprop(k, J, r, I0)
     return emission_unpolarized(k, J, r, I0)
 
 

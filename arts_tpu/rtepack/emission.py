@@ -22,10 +22,12 @@ Conventions: path point 0 is the observer; point np-1 is the background
 r: [np-1] layer lengths (r[i] between points i and i+1); I0: [F] / [F, 4].
 """
 
+import math
+
 import jax
 import jax.numpy as jnp
 
-from .propmat import expm, matvec
+from .propmat import expm, matvec, to_matrix
 
 
 def emission_unpolarized(k, J, r, I0):
@@ -59,6 +61,134 @@ def emission_unpolarized_pscan(k, J, r, I0):
 
     A, Bc = jax.lax.associative_scan(compose, (t_lay, b))
     return A[-1] * I0 + Bc[-1]
+
+
+def _linsrc_weight(tau, t):
+    """L = (1 - e^-tau)/tau with a series head (== expm1(a)/a, a = -tau).
+
+    Parity: tran::linsrc func_F (rtepack_transmission.cc:207-215).
+    """
+    small = tau < 1e-6
+    safe = jnp.where(small, 1.0, tau)
+    series = 1.0 - tau / 2.0 + tau * tau / 6.0
+    return jnp.where(small, series, (1.0 - t) / safe)
+
+
+def emission_unpolarized_linsrc(k, J, r, I0):
+    """Emission recursion with the source linear in optical depth per layer.
+
+    Parity: TransmittanceMatrix::linsrc + the linevo step
+    I_i = T (I_{i+1} - J_{i+1}) + L (J_{i+1} - J_i) + J_i
+    (rtepack_transmission.cc:1030, rtepack_rtestep.cc linevo), the
+    reference's "lintau" rte_option.  L = (1 - T)/tau exactly integrates
+    a source that varies linearly in tau across the layer.
+    """
+    k_lay = 0.5 * (k[:-1] + k[1:])
+    tau = k_lay * r[:, None]
+    t_lay = jnp.exp(-tau)
+    L = _linsrc_weight(tau, t_lay)
+
+    def step(I, xs):
+        t, Lw, j0, j1 = xs
+        return t * (I - j0) + Lw * (j0 - j1) + j1, None
+
+    I, _ = jax.lax.scan(step, I0, (t_lay, L, J[1:], J[:-1]), reverse=True)
+    return I
+
+
+def _wofz_parts(x):
+    """(Re w(ix), Im w(x)) for real x >= 0: erfcx(x) and (2/sqrt(pi)) D(x)."""
+    from ..ops.wofz import wofz
+
+    cdtype = jnp.complex128 if x.dtype == jnp.float64 else jnp.complex64
+    erfcx = jnp.real(wofz((1j * x.astype(jnp.float64)).astype(cdtype)))
+    dawson2 = jnp.imag(wofz(x.astype(cdtype)))
+    return erfcx.astype(x.dtype), (0.5 * math.sqrt(math.pi)) * dawson2.astype(x.dtype)
+
+
+def emission_unpolarized_linprop(k, J, r, I0):
+    """Emission recursion with the propagation matrix linear along the layer.
+
+    Parity: tran::linsrc_linprop (rtepack_transmission.cc:449-474), the
+    reference's "linprop" rte_option.  With K(s) = k1 + (k2 - k1) s / r
+    (k1 at the near point, k2 at the far point, s distance from the near
+    point) the attenuation to the near point is quadratic in s, and by
+    parts the linear-source weight reduces to
+        L = (1/r) int_0^r exp(-(k1 s + alpha^2 s^2)) ds.
+    Closed forms (derived here; validated against brute-force quadrature in
+    tests/test_linsrc.py::test_linprop_weight_vs_quadrature):
+      * k2 > k1 (alpha^2 = (k2-k1)/(2r) > 0):
+          L = sqrt(pi) (erfcx(u0) - T erfcx(u1)) / (2 r alpha),
+          u_i = k_i/(2 alpha), erfcx via Re w(i u)  (all terms decaying).
+      * k2 < k1 (beta^2 = (k1-k2)/(2r)):
+          L = (D(q0) - T D(q1)) / (r beta), q_i = k_i/(2 beta),
+          Dawson D via Im w(q).
+    NOTE: the reference applies its Dawson form with (k1, k2) in the order
+    that is exact for a layer whose absorption DEcreases toward the far
+    point while gating it to INcreasing layers (rtepack_transmission.cc:
+    449-474 with the :1082-1086 call orientation) — an orientation bug its
+    ordering-only convergence test (tests/core/linsrc) cannot see.  We
+    implement the exact weight for both signs instead.  T = exp(-tau) with
+    tau = r (k1 + k2)/2, exact for linear K.
+    """
+    k1 = k[:-1]  # near end of each layer
+    k2 = k[1:]  # far end
+    rr = r[:, None]
+    tau = 0.5 * (k1 + k2) * rr
+    t_lay = jnp.exp(-tau)
+
+    dtau_grad = 0.5 * jnp.abs(k2 - k1) * rr  # |extra depth| from the slope
+    graded = dtau_grad > 1e-6
+    a2 = jnp.where(graded, jnp.abs(k2 - k1), 1.0) / (2.0 * rr)
+    alpha = jnp.sqrt(a2)
+    u0 = k1 / (2.0 * alpha)
+    u1 = k2 / (2.0 * alpha)
+    e0, d0 = _wofz_parts(u0)
+    e1, d1 = _wofz_parts(u1)
+    L_up = (0.5 * math.sqrt(math.pi)) * (e0 - t_lay * e1) / (rr * alpha)
+    L_dn = (d0 - t_lay * d1) / (rr * alpha)
+    L = jnp.where(
+        graded,
+        jnp.where(k2 > k1, L_up, L_dn),
+        _linsrc_weight(tau, t_lay),
+    )
+
+    def step(I, xs):
+        t, Lw, j0, j1 = xs
+        return t * (I - j0) + Lw * (j0 - j1) + j1, None
+
+    I, _ = jax.lax.scan(step, I0, (t_lay, L, J[1:], J[:-1]), reverse=True)
+    return I
+
+
+def emission_polarized_linsrc(k, J, r, I0):
+    """Polarized linear-in-tau source recursion.
+
+    The matrix source weight is exact: L = (r Kbar)^-1 (I - T) (the matrix
+    form of expm1(-tau)/tau; the reference builds the same operator from
+    Cayley-Hamilton coefficients l0..l3, rtepack_transmission.cc:207-276).
+    A series head I - M/2 + M^2/6 - M^3/24 covers thin layers where the
+    solve would lose precision.
+    """
+    k_lay = 0.5 * (k[:-1] + k[1:])  # [np-1, F, 7]
+    T = expm(k_lay, r[:, None])  # [np-1, F, 4, 4]
+    M = r[:, None, None, None] * to_matrix(k_lay)  # [np-1, F, 4, 4]
+    eye = jnp.eye(4, dtype=k.dtype)
+
+    thin = (r[:, None] * k_lay[..., 0]) < 1e-4  # tau from the A component
+    M2 = jnp.einsum("...ij,...jk->...ik", M, M)
+    M3 = jnp.einsum("...ij,...jk->...ik", M2, M)
+    L_series = eye - M / 2.0 + M2 / 6.0 - M3 / 24.0
+    M_safe = jnp.where(thin[..., None, None], eye, M)
+    L_solve = jnp.linalg.solve(M_safe, eye - T)
+    L = jnp.where(thin[..., None, None], L_series, L_solve)
+
+    def step(I, xs):
+        t, Lw, j0, j1 = xs
+        return matvec(t, I - j0) + matvec(Lw, j0 - j1) + j1, None
+
+    I, _ = jax.lax.scan(step, I0, (T, L, J[1:], J[:-1]), reverse=True)
+    return I
 
 
 def emission_polarized(k, J, r, I0):

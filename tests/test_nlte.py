@@ -72,3 +72,87 @@ def test_statistical_equilibrium_two_level():
     W2 = two_level_rates(1.0, 2.0, 3.0, 0.0, 0.0, jnp.asarray(1e6))
     n2 = np.asarray(statistical_equilibrium(W2))
     np.testing.assert_allclose(n2[1] / n2[0], 3.0 / 2.0, rtol=1e-5)
+
+
+def _two_level_setup(f0=115.27e9):
+    from arts_tpu.lbl.catalog import build_catalog
+    from arts_tpu.lbl.tmodel import Law
+
+    line = dict(
+        f0=f0, a=7.2e-8, e0=0.0, gu=3.0, gl=1.0, iso_mass=28.0,
+        iso_ratio=1.0, spec_idx=0, iso_idx=0, band_idx=0, t0=296.0,
+        cutoff=1e30, ls={"bath": {"G0": (Law.T1, [2.4e4, 0.75])}},
+    )
+    cat = build_catalog([line])
+    nz = 16
+    z = jnp.linspace(0.0, 30e3, nz)
+    t_prof = 280.0 - 60.0 * z / 30e3
+    p_prof = 1e5 * jnp.exp(-z / 8e3)
+    vmr_prof = jnp.full((nz, 1), 1e-7)
+    f_grid = jnp.linspace(f0 - 8e9, f0 + 8e9, 512)
+    E = jnp.asarray([0.0, const.h * f0])
+    g = jnp.asarray([1.0, 3.0])
+    return cat, z, t_prof, p_prof, vmr_prof, f_grid, E, g
+
+
+def _boltzmann(T, g, E):
+    from arts_tpu.lbl.nlte import boltzmann_ratios
+
+    Q = jnp.sum(g * jnp.exp(-E / (const.k * jnp.asarray(T)[..., None])), -1)
+    return boltzmann_ratios(T, g, E, Q)
+
+
+def test_nlte_fit_collision_dominated_recovers_lte():
+    """Strong collisions (with detailed balance) must thermalize to LTE
+    (atm_profileFitNonLTE parity, src/m_nlte.cc:49-142)."""
+    from arts_tpu.lbl.nlte import nlte_fit_profile
+
+    cat, z, t_prof, p_prof, vmr_prof, f_grid, E, g = _two_level_setup()
+    nz = z.shape[0]
+    hf_kt = const.h * float(cat.f0[0]) / (const.k * t_prof)
+    Cul = jnp.full((nz, 1), 1.0e3)
+    Clu = Cul * (g[1] / g[0]) * jnp.exp(-hf_kt)[:, None]  # detailed balance
+
+    r_lte = _boltzmann(t_prof, g, E)
+    r_init = jnp.full((nz, 2), 0.5)  # start far from the answer
+    r, n_iter, mc = nlte_fit_profile(
+        f_grid, z, t_prof, p_prof, vmr_prof, cat, 2,
+        jnp.asarray([1]), jnp.asarray([0]), Cul, Clu,
+        r_sum=jnp.sum(r_lte, -1), r_init=r_init,
+        surf_t=jnp.asarray(280.0), convergence_limit=1e-9,
+    )
+    assert mc < 1e-9 and n_iter < 100
+    np.testing.assert_allclose(np.asarray(r), np.asarray(r_lte), rtol=1e-4)
+
+
+def test_nlte_fit_radiation_dominated_isothermal_cavity():
+    """No collisions inside an isothermal blackbody cavity: populations
+    thermalize to the radiation temperature, not the local kinetic T."""
+    from arts_tpu.lbl.nlte import nlte_fit_profile
+
+    # THz line so h f0/kT spreads the kinetic-T Boltzmann ratios (2.0-2.2)
+    # well apart from the radiation-T answer — a discriminating check
+    cat, z, t_prof, p_prof, vmr_prof, f_grid, E, g = _two_level_setup(f0=2.0e12)
+    nz = z.shape[0]
+    t_rad = 250.0
+    vmr_thin = jnp.full((nz, 1), 1e-12)  # optically thin line
+    zero = jnp.zeros((nz, 1))
+
+    r_init = _boltzmann(t_prof, g, E)  # start at kinetic-T LTE
+    r, n_iter, mc = nlte_fit_profile(
+        f_grid, z, t_prof, p_prof, vmr_thin, cat, 2,
+        jnp.asarray([1]), jnp.asarray([0]), zero, zero,
+        r_sum=jnp.sum(r_init, -1), r_init=r_init,
+        surf_t=jnp.asarray(t_rad), surf_eps=1.0, t_space=t_rad,
+        convergence_limit=1e-10,
+    )
+    assert mc < 1e-10
+    r_expect = _boltzmann(jnp.full((nz,), t_rad), g, E) * (
+        jnp.sum(r_init, -1) / jnp.sum(_boltzmann(jnp.full((nz,), t_rad), g, E), -1)
+    )[:, None]
+    ratio = np.asarray(r[:, 1] / r[:, 0])
+    ratio_expect = np.asarray(r_expect[:, 1] / r_expect[:, 0])
+    np.testing.assert_allclose(ratio, ratio_expect, rtol=5e-3)
+    # and it must NOT sit at the kinetic-temperature answer
+    r_kin = np.asarray(r_init[:, 1] / r_init[:, 0])
+    assert np.abs(ratio - r_kin).max() > 20 * np.abs(ratio - ratio_expect).max()

@@ -191,6 +191,42 @@ def emission_polarized_linsrc(k, J, r, I0):
     return I
 
 
+def _refine_path(k, J, r, substeps):
+    """Linearly refine each layer into `substeps` sublayers.
+
+    k/J are point quantities [np, ...]; returns (k', J', r') with
+    np' = (np-1)*substeps + 1 points, K and J linear within each original
+    layer (the linprop/linsrc assumption applied at sub-resolution).
+    """
+    f = jnp.linspace(0.0, 1.0, substeps + 1)[:-1]  # [S], drop shared right edge
+
+    def refine(x):
+        ex = (1.0 - f).reshape((1, -1) + (1,) * (x.ndim - 1))
+        fx = f.reshape((1, -1) + (1,) * (x.ndim - 1))
+        mid = ex * x[:-1, None] + fx * x[1:, None]  # [np-1, S, ...]
+        flat = mid.reshape((-1,) + x.shape[1:])
+        return jnp.concatenate([flat, x[-1:]], 0)
+
+    r_sub = jnp.repeat(r / substeps, substeps)
+    return refine(k), refine(J), r_sub
+
+
+def emission_polarized_linprop(k, J, r, I0, substeps: int = 4):
+    """Polarized linear-propmat recursion by substep refinement.
+
+    The reference's polarized linsrc_linprop evaluates its scalar Dawson
+    closed form with matrix arguments (complex specmat sqrt/inv/dawson,
+    rtepack_transmission.cc:449-474) — exact only when K1 and K2 commute
+    (and orientation-flipped, see emission_unpolarized_linprop).  Here the
+    layer is split into `substeps` sublayers with K and J interpolated
+    linearly and the exact-per-sublayer linsrc weight applied: O(1/S^2)
+    error with no commutation assumption, and it is just a longer scan —
+    the TPU-friendly form of the same discretization.
+    """
+    k_s, J_s, r_s = _refine_path(k, J, r, substeps)
+    return emission_polarized_linsrc(k_s, J_s, r_s, I0)
+
+
 def emission_polarized(k, J, r, I0):
     """Polarized recursion: k [np, F, 7], J [np, F, 4], I0 [F, 4]."""
     k_lay = 0.5 * (k[:-1] + k[1:])  # [np-1, F, 7]

@@ -173,3 +173,30 @@ def test_linsrc_jacobian_finite_difference():
     for i in [0, 5, 11]:
         fd = (forward(T0.at[i].add(eps)) - forward(T0.at[i].add(-eps))) / (2 * eps)
         np.testing.assert_allclose(g[i], fd, rtol=2e-5, atol=1e-18)
+
+
+def test_polarized_linprop_substeps():
+    """Polarized linprop (substep refinement) beats linsrc on coarse grids
+    and matches the exact scalar linprop in the unpolarized limit."""
+    from arts_tpu.rtepack.emission import (
+        emission_polarized_linprop,
+        emission_unpolarized_linprop,
+    )
+
+    N = 10
+    f = jnp.asarray([100e9])
+    k_s = jnp.geomspace(1e-5, 5e-3, N)[:, None]  # strong gradient
+    T = jnp.linspace(200.0, 300.0, N)
+    J_s = planck(f[None, :], T[:, None])
+    r = jnp.full((N - 1,), 5e3)
+    I0_s = planck(f, jnp.asarray(300.0))
+
+    k_p = jnp.zeros((N, 1, 7)).at[..., 0].set(k_s)
+    J_p = jnp.zeros((N, 1, 4)).at[..., 0].set(J_s)
+    I0_p = jnp.zeros((1, 4)).at[..., 0].set(I0_s)
+
+    I_exact = np.asarray(emission_unpolarized_linprop(k_s, J_s, r, I0_s))[0]
+    I_lin = np.asarray(emission_polarized_linsrc(k_p, J_p, r, I0_p))[0, 0]
+    I_sub = np.asarray(emission_polarized_linprop(k_p, J_p, r, I0_p, substeps=8))[0, 0]
+    assert abs(I_sub - I_exact) < abs(I_lin - I_exact)
+    assert abs(I_sub - I_exact) / I_exact < 1e-4

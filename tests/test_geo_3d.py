@@ -275,3 +275,49 @@ def test_3d_pipeline_sees_horizontal_gradient():
     # the transparent-window surface view (same surface temperature)
     i_win = int(np.argmin(np.abs(np.asarray(F_GRID) - 200e9)))
     np.testing.assert_allclose(In[i_win], Is[i_win], rtol=5e-3)
+
+
+def test_subsurface_disort_matches_recursion_absorbing():
+    """Pure-absorption subsurface DISORT == the scalar layer recursion at
+    each quadrature angle (spectral_radSubsurfaceDisortEmission parity)."""
+    from arts_tpu.ops.planck import planck
+
+    depth = jnp.linspace(0.0, 5.0, 21)
+    t = 260.0 + 8.0 * depth  # warming with depth
+    sub = SubsurfaceField(depth=depth, t=t, absorption=jnp.full((21,), 2.0))
+    f = jnp.asarray([10e9, 90e9])
+
+    out = sub.emerging_radiance_disort(f, nquad=8)
+    mus = np.asarray(out.mu)[4:]  # positive (upwelling) quadrature cosines
+    u_up = np.asarray(out.u0[:, 0, 4:])  # [F, 4] emerging at the surface
+    for i, mu in enumerate(mus):
+        I_rec = np.asarray(sub.emerging_radiance(f, mu=float(mu)))
+        np.testing.assert_allclose(u_up[:, i], I_rec, rtol=1e-6)
+
+
+def test_subsurface_disort_scattering_darkens():
+    """Volume scattering under a cold sky lowers the emerging radiance
+    below the pure-absorption value (snow emissivity effect) and reflects
+    part of a warm downwelling illumination."""
+    from arts_tpu.ops.planck import planck
+
+    depth = jnp.linspace(0.0, 2.0, 31)
+    t = jnp.full((31,), 265.0)
+    f = jnp.asarray([37e9])
+    base = SubsurfaceField(depth=depth, t=t, absorption=jnp.full((31,), 5.0))
+    scat = SubsurfaceField(
+        depth=depth, t=t, absorption=jnp.full((31,), 5.0),
+        ssa=jnp.full((31,), 0.6), g=jnp.full((31,), 0.3),
+    )
+    I_base = float(base.emerging_radiance_disort(f, nquad=8).u0[0, 0, -1])
+    I_scat = float(scat.emerging_radiance_disort(f, nquad=8).u0[0, 0, -1])
+    B = float(planck(f, 265.0)[0])
+    assert I_scat < I_base <= B * (1 + 1e-9)
+    # warm illumination partially reflected by the scattering layer
+    I_illum = float(
+        scat.emerging_radiance_disort(
+            f, I_down=jnp.asarray([B]), nquad=8
+        ).u0[0, 0, -1]
+    )
+    assert I_illum > I_scat
+    np.testing.assert_allclose(I_illum, B, rtol=0.05)  # near-cavity limit

@@ -47,7 +47,9 @@ class SubsurfaceField:
         I0 = J[-1]  # semi-infinite: deep radiance = local Planck
         return emission_unpolarized(k, J, dr, I0)
 
-    def emerging_radiance_disort(self, f_grid, I_down=None, nquad: int = 16):
+    def emerging_radiance_disort(
+        self, f_grid, I_down=None, nquad: int = 16, min_optical_depth=1e-11
+    ):
         """Emerging radiance by a DISORT solve over the depth profile.
 
         Parity: spectral_radSubsurfaceDisortEmission /
@@ -78,9 +80,12 @@ class SubsurfaceField:
         gg = jnp.zeros((nd,)) if self.g is None else self.g
         omega_lay = 0.5 * (ssa[:-1] + ssa[1:])
         g_lay = 0.5 * (gg[:-1] + gg[1:])
-        # extinction = absorption/(1 - ssa); tau from total extinction
-        ext_lay = k_lay / jnp.maximum(1.0 - omega_lay[:, None], 1e-12)
-        tau = ext_lay * dz  # [ND-1, F]
+        # tau from the absorption midpoint alone — the reference's
+        # convention (disort_settingsSubsurfaceScalarAbsorption,
+        # m_disort_settings.cc:568-573: tau_i = r_i * midpoint(k), ssa
+        # applied separately), with the same per-layer floor so DISORT
+        # stays numerically stable on zero-absorption layers.
+        tau = jnp.maximum(k_lay * dz, min_optical_depth)  # [ND-1, F]
         nleg = nquad
         leg = g_lay[:, None] ** jnp.arange(nleg)[None, :]  # HG moments g^l
         b_levels = planck(f_grid[None, :], self.t[:, None])  # [ND, F]

@@ -26,7 +26,20 @@ from .lbl.catalog import LineCatalog
 from .lbl.partfun import PartFunTable
 from .lbl.voigt import absorption
 from .ops.planck import planck
-from .rtepack.emission import emission_unpolarized
+from .rtepack.emission import (
+    emission_unpolarized,
+    emission_unpolarized_linprop,
+    emission_unpolarized_linsrc,
+)
+
+
+def _emission_fn(rte_option: str):
+    """Scalar emission recursion for an rte_option (TransmittanceOption)."""
+    return {
+        "constant": emission_unpolarized,
+        "lintau": emission_unpolarized_linsrc,
+        "linprop": emission_unpolarized_linprop,
+    }[rte_option]
 
 
 @jax.tree_util.register_dataclass
@@ -52,6 +65,10 @@ class ClearskyScene:
     # full-band ECS line-mixing bands: ((EcsBand, spec_idx, iso_idx,
     # iso_ratio), ...); evaluated per path point like the line catalog
     ecs_bands: tuple = ()
+    # non-LTE band: population-ratio profiles + the band's own line
+    # catalog (lbl_fwd.h:14 nlte line storage; rtepack_source.cc:40
+    # J = B + K^-1 S)
+    nlte: object | None = None
 
 
 @functools.partial(
@@ -116,6 +133,26 @@ def simulate_clearsky(
 
     J = planck(f_grid[None, :], pts.t[:, None])  # [np, F]
 
+    if scene.nlte is not None:
+        # NLTE band: per-line populations add absorption to K and an
+        # emission excess S; the source becomes J = B + S/K with K the
+        # FULL absorption (rtepack_source.cc:40, level_nlte).
+        from .lbl.nlte import nlte_absorption_source
+
+        ru, rl = scene.nlte.at(path_alt)  # [np, L]
+
+        def point_nlte(t, p, v, d, ru_, rl_):
+            return nlte_absorption_source(
+                f_grid * d, scene.nlte.cat, t, p, v, ru_, rl_, block=block
+            )
+
+        a_n, s_n = jax.vmap(point_nlte)(
+            pts.t, pts.p, pts.vmr, dshift, ru, rl
+        )  # [np, F] each
+        k = k + a_n
+        k_safe = jnp.where(jnp.abs(k) > 1e-30, k, 1.0)
+        J = J + s_n / k_safe
+
     r = jnp.asarray(path_dr)
     cmb = planck(
         f_grid, jnp.asarray(const.cosmic_microwave_background_temperature)
@@ -132,23 +169,17 @@ def simulate_clearsky(
         # direction is computed by re-running the emission recursion over
         # the SAME layer stack reversed — exact for a horizontally
         # homogeneous 1D atmosphere, replacing the reference's re-entrant
-        # observer-agenda call; then I0 = R I_down + (1 - R) B(T_surf).
+        # observer-agenda call (same rte_option discretization on both
+        # legs, as the reference applies rte_option along every path);
+        # then I0 = R I_down + (1 - R) B(T_surf).
         b_surf = planck(f_grid, scene.surface_temperature)
-        I_down = emission_unpolarized(k[::-1], J[::-1], r[::-1], cmb)
+        I_down = _emission_fn(rte_option)(k[::-1], J[::-1], r[::-1], cmb)
         refl = 1.0 - scene.surface_emissivity
         I0 = refl * I_down + scene.surface_emissivity * b_surf
     else:
         I0 = cmb
 
-    if rte_option == "lintau":
-        from .rtepack.emission import emission_unpolarized_linsrc
-
-        return emission_unpolarized_linsrc(k, J, r, I0)
-    if rte_option == "linprop":
-        from .rtepack.emission import emission_unpolarized_linprop
-
-        return emission_unpolarized_linprop(k, J, r, I0)
-    return emission_unpolarized(k, J, r, I0)
+    return _emission_fn(rte_option)(k, J, r, I0)
 
 
 def simulate_clearsky_bt(scene, f_grid, path_alt, path_dr, background="space"):
@@ -181,6 +212,9 @@ class ZeemanScene:
     surface_reflectance: jax.Array = dataclasses.field(
         default_factory=lambda: jnp.asarray(0.0)
     )
+    # optional non-LTE band (unpolarized lines on top of the Zeeman
+    # background): J = B e1 + K^-1 S (rtepack_source.cc level_nlte)
+    nlte: object | None = None
 
 
 @functools.partial(jax.jit, static_argnames=("background", "block"))
@@ -210,9 +244,27 @@ def simulate_clearsky_polarized(
         )
     )(pts.t, pts.p, pts.vmr, pts.mag, jnp.asarray(path_za))  # [np, F, 7]
 
-    # source: J = B e1 (LTE; rtepack_source.cc:40 with S_nlte = 0)
+    # source: J = B e1 (+ NLTE: J = B e1 + K^-1 S, rtepack_source.cc:40)
     B = planck(f_grid[None, :], pts.t[:, None])  # [np, F]
     J = jnp.zeros(B.shape + (4,), B.dtype).at[..., 0].set(B)
+
+    if scene.nlte is not None:
+        from .lbl.nlte import nlte_absorption_source
+
+        ru, rl = scene.nlte.at(path_alt)
+
+        def point_nlte(t, p, v, ru_, rl_):
+            return nlte_absorption_source(
+                f_grid, scene.nlte.cat, t, p, v, ru_, rl_, block=block
+            )
+
+        a_n, s_n = jax.vmap(point_nlte)(pts.t, pts.p, pts.vmr, ru, rl)
+        k = k.at[..., 0].add(a_n)
+        S = jnp.zeros_like(J).at[..., 0].set(s_n)
+        # floor A for the inversion only: where K ~ 0 the excess S is
+        # also ~ 0 (same lines), so the contribution vanishes cleanly
+        k_inv = k.at[..., 0].set(jnp.maximum(k[..., 0], 1e-30))
+        J = J + matvec(pm_inv(k_inv), S)
 
     r = jnp.asarray(path_dr)
     cmb = planck(

@@ -18,6 +18,8 @@ ru/rl are the per-line upper/lower level population *ratios* (the
 reference stores them as QuantumLevelIdentifier keys on the AtmPoint).
 """
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 
@@ -26,6 +28,36 @@ from ..ops.planck import planck
 from .catalog import LineCatalog
 from .voigt import _shape_sum, lineshape_params
 from .tmodel import ID0, IDV, IG0
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class NlteField:
+    """Non-LTE band state carried in a scene: level-population-ratio
+    profiles on an altitude grid plus the band's line catalog.
+
+    Parity: the reference stores populations as QuantumLevelIdentifier
+    keys on the AtmField (atm_field.h:44, `nlte` data) and evaluates the
+    per-line nlte Voigt in lbl_fwd.h:14 / lbl_lineshape_voigt_nlte.cpp;
+    here the ratios are a stacked [NZ, NL] profile sampled like any
+    other atmospheric field, and up/lo index maps select the per-line
+    upper/lower ratios.
+    """
+
+    z: jax.Array  # [NZ] altitude grid (ascending)
+    r: jax.Array  # [NZ, NL] population ratios per level
+    cat: LineCatalog  # the NLTE band's lines (NOT also in the LTE catalog)
+    up_idx: jax.Array  # [L] upper-level index per line
+    lo_idx: jax.Array  # [L] lower-level index per line
+
+    def at(self, alt):
+        """(ru, rl) per-line population ratios at altitudes alt [...]."""
+        alt = jnp.asarray(alt)
+        i1 = jnp.clip(jnp.searchsorted(self.z, alt), 1, self.z.shape[0] - 1)
+        i0 = i1 - 1
+        w = jnp.clip((alt - self.z[i0]) / (self.z[i1] - self.z[i0]), 0.0, 1.0)
+        r = self.r[i0] * (1.0 - w[..., None]) + self.r[i1] * w[..., None]
+        return r[..., self.up_idx], r[..., self.lo_idx]
 
 
 def nlte_amplitudes(cat: LineCatalog, T, P, vmr, ru, rl):

@@ -138,11 +138,21 @@ def emission_unpolarized_linprop(k, J, r, I0):
     t_lay = jnp.exp(-tau)
 
     dtau_grad = 0.5 * jnp.abs(k2 - k1) * rr  # |extra depth| from the slope
-    graded = dtau_grad > 1e-6
+    # Gate between the closed form (a cancellation e0 - T*e1 of
+    # O(sqrt(dtau_grad)) between O(1) wofz terms, losing ~half the digits
+    # near the gate) and the linsrc series whose error is O(dtau_grad).
+    # At f32 the cancellation costs more than the series error until
+    # dtau_grad ~ 1e-3; at f64 1e-6 balances the two.
+    gate = 1e-6 if k.dtype == jnp.float64 else 1e-3
+    # The closed form assumes k >= 0 (erfcx/Dawson via wofz need
+    # Im(z) >= 0); with negative absorption (ECS line-mixing wings) fall
+    # back to the linsrc weight, which is exact in tau of either sign.
+    graded = (dtau_grad > gate) & (jnp.minimum(k1, k2) >= 0.0)
     a2 = jnp.where(graded, jnp.abs(k2 - k1), 1.0) / (2.0 * rr)
     alpha = jnp.sqrt(a2)
-    u0 = k1 / (2.0 * alpha)
-    u1 = k2 / (2.0 * alpha)
+    # clamp so the untaken branch stays in wofz's supported domain
+    u0 = jnp.maximum(k1, 0.0) / (2.0 * alpha)
+    u1 = jnp.maximum(k2, 0.0) / (2.0 * alpha)
     e0, d0 = _wofz_parts(u0)
     e1, d1 = _wofz_parts(u1)
     L_up = (0.5 * math.sqrt(math.pi)) * (e0 - t_lay * e1) / (rr * alpha)

@@ -643,19 +643,24 @@ def _legendre_all(ctheta, kmax):
 def _single_scat(phase, omega, tau_lvl, mu, mu0, fbeam):
     """Vectorized c_single_scat (cdisort:~2470) at all layer boundaries.
 
-    phase: [L, ...] per-layer phase value at the scattering angle;
-    omega: [L]; tau_lvl: [L+1] cumulative optical depth; mu: scalar
-    output cosine (+-); returns [L+1, ...].
+    phase: [..., L] per-layer phase value at the scattering angle;
+    omega: [L]; tau_lvl: [L+1] cumulative optical depth; mu: output
+    cosines (+-) broadcastable against phase[..., 0]; returns [..., L+1]
+    (batched over every leading axis — all output angles evaluate in
+    one fused expression rather than a trace-time loop).
     """
-    L = omega.shape[0]
     u = tau_lvl[:, None]  # [L+1, 1] boundary depths
     t0 = tau_lvl[:-1][None, :]  # [1, L] layer tops
     t1 = tau_lvl[1:][None, :]  # [1, L] layer bottoms
+    mu_b = jnp.asarray(mu)[..., None, None]  # [..., 1, 1]
 
     def E(t):
-        return jnp.exp(-((t - u) / mu + t / mu0))
+        # the exponent is <= 0 in every taken branch (see masks below);
+        # clamping kills the inf the untaken branch would otherwise
+        # produce for the opposite-sign mu entries
+        return jnp.exp(jnp.minimum(-((t - u) / mu_b + t / mu0), 0.0))
 
-    up = mu > 0
+    up = mu_b > 0
     # upward: layers j >= boundary index; start clamped to u
     mask_up = t1 > u + 1e-30  # layer strictly below the boundary (or partial)
     term_up = E(jnp.maximum(t0, u)) - E(t1)
@@ -664,9 +669,9 @@ def _single_scat(phase, omega, tau_lvl, mu, mu0, fbeam):
     term_dn = E(jnp.minimum(t1, u)) - E(t0)
     term = jnp.where(up, jnp.where(mask_up, term_up, 0.0),
                      jnp.where(mask_dn, term_dn, 0.0))
-    ans = jnp.sum(term * (omega * phase)[None, :], axis=1)
-    denom = 1.0 + mu / mu0
-    return ans * fbeam / (4.0 * jnp.pi * denom)
+    ans = jnp.sum(term * (omega[None, :] * phase[..., None, :]), axis=-1)
+    denom = 1.0 + jnp.asarray(mu) / mu0
+    return ans * fbeam / (4.0 * jnp.pi * denom[..., None])
 
 
 def tms_ims_correction(
@@ -706,48 +711,57 @@ def tms_ims_correction(
     phis_r = np_.deg2rad(np_.asarray(phis, dtype=np_.float64))
     phi0_r = np_.deg2rad(phi0)
 
-    out = []
-    for i, mu in enumerate(mu_all):
-        du_phi = []
-        for pr in phis_r:
-            ct = -mu0 * mu + np_.sqrt(max((1 - mu0**2) * (1 - mu**2), 0.0)) * np_.cos(
-                pr - phi0_r
-            )
-            P = _legendre_all(jnp.asarray(ct, dtype), kfull)  # [K+1]
-            ks = jnp.arange(kfull + 1, dtype=dtype)
-            w2k1 = 2.0 * ks + 1.0
-            phasa = jnp.sum(w2k1 * P * inp.leg, axis=-1)  # [L]
-            ktrunc = min(nstr - 1, kfull)
-            legm = (inp.leg[:, : ktrunc + 1] - f[:, None]) / (1.0 - f[:, None])
-            legm = legm.at[:, 0].set(1.0)
-            phasm = jnp.sum(
-                (2.0 * jnp.arange(ktrunc + 1) + 1.0) * P[: ktrunc + 1] * legm,
-                axis=-1,
-            )
-            phast = phasa / (1.0 - f * omega)
-            ussndm = _single_scat(phast, omega, tau_p, mu, mu0, inp.fbeam)
-            ussp = _single_scat(phasm, omega_p, tau_p, mu, mu0, inp.fbeam)
-            du = ussndm - ussp  # [L+1]
+    # scattering-angle cosines for ALL (mu, phi) at once: one Legendre
+    # recurrence + two batched single-scat evaluations replace the old
+    # trace-time double loop ([NQuad] x [nphi] separate graphs — flat
+    # trace size in nphi now, camera-sized nphi included)
+    ct_np = -mu0 * mu_all[:, None] + np_.sqrt(
+        np_.maximum((1.0 - mu0**2) * (1.0 - mu_all**2), 0.0)
+    )[:, None] * np_.cos(phis_r - phi0_r)[None, :]
+    ct = jnp.asarray(ct_np, dtype)  # [NQ, nphi]
+    P = _legendre_all(ct, kfull)  # [K+1, NQ, nphi]
+    ks = jnp.arange(kfull + 1, dtype=dtype)
+    w2k1 = 2.0 * ks + 1.0
+    phasa = jnp.einsum("k,kqp,lk->qpl", w2k1, P, inp.leg)  # [NQ, nphi, L]
+    ktrunc = min(nstr - 1, kfull)
+    legm = (inp.leg[:, : ktrunc + 1] - f[:, None]) / (1.0 - f[:, None])
+    legm = legm.at[:, 0].set(1.0)
+    phasm = jnp.einsum(
+        "k,kqp,lk->qpl", w2k1[: ktrunc + 1], P[: ktrunc + 1], legm
+    )
+    phast = phasa / (1.0 - f * omega)
+    mu_j = jnp.asarray(mu_all, dtype)
+    ussndm = _single_scat(phast, omega, tau_p, mu_j[:, None], mu0, inp.fbeam)
+    ussp = _single_scat(phasm, omega_p, tau_p, mu_j[:, None], mu0, inp.fbeam)
+    du = ussndm - ussp  # [NQ, nphi, L+1]
 
-            if ims and mu < 0.0:
-                theta0 = np_.degrees(np_.arccos(-mu0))
-                thetap = np_.degrees(np_.arccos(mu))
-                if abs(theta0 - thetap) <= 10.0:
-                    du = du - _ims_term(inp, ct, tau_u, nstr, kfull, mu, mu0)
-            du_phi.append(du)
-        out.append(jnp.stack(du_phi, -1))
-    return jnp.stack(out, 1)  # [L+1, NQuad, nphi]
+    if ims:
+        # the IMS aureole window is static (quadrature mus, solar zenith)
+        theta0 = np_.degrees(np_.arccos(-mu0))
+        thetap = np_.degrees(np_.arccos(mu_all))
+        ims_mask = (mu_all < 0.0) & (np_.abs(theta0 - thetap) <= 10.0)
+        if ims_mask.any():
+            mu_ims = np_.where(ims_mask, mu_all, -0.5)  # keep exps bounded
+            ims_val = _ims_term(
+                inp, ct, tau_u, nstr, kfull, jnp.asarray(mu_ims, dtype), mu0
+            )  # [NQ, nphi, L+1]
+            du = du - jnp.asarray(ims_mask, dtype)[:, None, None] * ims_val
+    return jnp.transpose(du, (2, 0, 1))  # [L+1, NQuad, nphi]
 
 
 def _ims_term(inp: DisortInput, ct, tau_u, nstr, kfull, mu, mu0):
-    """c_secondary_scat parity: delta-M spike double-scattering term [L+1]."""
+    """c_secondary_scat parity: delta-M spike double-scattering term.
+
+    Batched: ct [NQ, nphi] scattering cosines, mu [NQ] (negative =
+    downward, where the term applies); returns [NQ, nphi, L+1].
+    """
     dtype = inp.tau.dtype
     omega = jnp.clip(inp.omega, 0.0, 1.0 - 1e-9)
     f = inp.f
     # cumulative (unscaled) means down to each boundary
     w_dt = omega * inp.tau
     f_dt = f * w_dt
-    stau = tau_u[1:]  # boundary depths (skip TOA where the term is 0)
+    stau = tau_u[1:]  # [L] boundary depths (skip TOA where the term is 0)
     wbar = jnp.cumsum(w_dt)
     fbar = jnp.cumsum(f_dt)
     tiny = 1e-4
@@ -755,11 +769,15 @@ def _ims_term(inp: DisortInput, ct, tau_u, nstr, kfull, mu, mu0):
     fbar_n = fbar / jnp.where(wbar > 0, wbar, 1.0)
     wbar_n = wbar / jnp.where(stau > 0, stau, 1.0)
 
-    P = _legendre_all(jnp.asarray(ct, dtype), kfull)
+    P = _legendre_all(jnp.asarray(ct, dtype), kfull)  # [K+1, NQ, nphi]
     # pspike: k < nstr with gbar = 1; k >= nstr with gbar from moments
-    pspike = jnp.sum((2.0 * jnp.arange(1, min(nstr, kfull + 1)) + 1.0)
-                     * P[1:min(nstr, kfull + 1)])
-    pspike = 1.0 + pspike * jnp.ones_like(stau)
+    ktop = min(nstr, kfull + 1)
+    base = jnp.einsum(
+        "k,kqp->qp",
+        2.0 * jnp.arange(1, ktop, dtype=dtype) + 1.0,
+        P[1:ktop],
+    )  # [NQ, nphi]
+    pspike = 1.0 + base[..., None] * jnp.ones_like(stau)  # [NQ, nphi, L]
     if kfull >= nstr:
         gmom = jnp.cumsum(inp.leg[:, nstr:] * w_dt[:, None], axis=0)  # [L, K-]
         denom = fbar_n * wbar_n * stau
@@ -767,8 +785,8 @@ def _ims_term(inp: DisortInput, ct, tau_u, nstr, kfull, mu, mu0):
             (denom > tiny)[:, None], gmom / jnp.where(denom > 0, denom, 1.0)[:, None], 0.0
         )
         kk = jnp.arange(nstr, kfull + 1, dtype=dtype)
-        pspike = pspike + jnp.sum(
-            gbar * (2.0 - gbar) * (2.0 * kk + 1.0) * P[nstr:], axis=-1
+        pspike = pspike + jnp.einsum(
+            "lk,kqp->qpl", gbar * (2.0 - gbar) * (2.0 * kk + 1.0), P[nstr:]
         )
     umu0p = mu0 / (1.0 - fbar_n * wbar_n)
 
@@ -781,13 +799,19 @@ def _ims_term(inp: DisortInput, ct, tau_u, nstr, kfull, mu, mu0):
         limit = tau * tau * e1 / (2.0 * umu1 * umu2)
         return jnp.where(x1 == 0, limit, main)
 
+    xiv = xi(
+        (-jnp.asarray(mu, dtype))[:, None, None],
+        umu0p[None, None, :],
+        stau[None, None, :],
+    )  # [NQ, 1, L]
     val = (
         inp.fbeam
         / (4.0 * jnp.pi)
         * (fbar_n * wbar_n) ** 2
         / (1.0 - fbar_n * wbar_n)
         * pspike
-        * xi(-mu, umu0p, stau)
+        * xiv
     )
-    val = jnp.where(ok, val, 0.0)
-    return jnp.concatenate([jnp.zeros((1,), dtype), val])
+    val = jnp.where(ok, val, 0.0)  # [NQ, nphi, L]
+    zero = jnp.zeros(val.shape[:-1] + (1,), dtype)
+    return jnp.concatenate([zero, val], axis=-1)

@@ -97,3 +97,24 @@ def test_ims_active_near_aureole():
     diff = np.asarray(w_ims.u[:, i_beam, 0]) - np.asarray(no_ims.u[:, i_beam, 0])
     assert np.abs(diff).max() > 0  # correction engaged
     assert np.all(np.isfinite(np.asarray(w_ims.u)))
+
+
+def test_tms_trace_size_flat_in_nphi():
+    """The correction is one batched graph over all (mu, phi): the jaxpr
+    must not grow with nphi (VERDICT round-1: camera-sized nphi in
+    seconds, replacing the old trace-time double loop)."""
+    import jax
+
+    from arts_tpu.disort.solver import tms_ims_correction
+
+    inp = hg_input(24, L=3, tau=(0.5, 1.0, 2.0), omega=(0.9, 0.95, 0.8),
+                   g=(0.7, 0.85, 0.6))
+
+    def neq(nphi):
+        phis = tuple(np.linspace(0.0, 180.0, nphi))
+        jaxpr = jax.make_jaxpr(
+            lambda i: tms_ims_correction(i, 8, 24, 0.6, 0.0, phis)
+        )(inp)
+        return len(jaxpr.jaxpr.eqns)
+
+    assert neq(64) == neq(4)

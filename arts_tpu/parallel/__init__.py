@@ -1,1 +1,6 @@
-from .mesh import make_mesh, shard_spec  # noqa: F401
+from .mesh import (  # noqa: F401
+    initialize_distributed,
+    make_hybrid_mesh,
+    make_mesh,
+    shard_spec,
+)

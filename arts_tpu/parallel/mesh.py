@@ -35,3 +35,69 @@ def make_mesh(n_obs: int | None = None, n_freq: int | None = None, devices=None)
 def shard_spec(mesh: Mesh, *axes: str | None) -> NamedSharding:
     """NamedSharding for the given logical axes (None = replicated axis)."""
     return NamedSharding(mesh, P(*axes))
+
+
+def initialize_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> bool:
+    """Multi-host bring-up: the framework's replacement for the reference's
+    optional MPI layer (src/oem_mpi.h:24-38, 3rdparty/invlib/src/invlib/mpi
+    — OFF by default there; first-class here).
+
+    Calls jax.distributed.initialize.  With no arguments it reads the
+    standard coordination env vars (JAX_COORDINATOR_ADDRESS /
+    JAX_NUM_PROCESSES / JAX_PROCESS_ID, or a managed-cluster
+    auto-detection) and is a no-op returning False in a plain
+    single-process run — safe to call unconditionally at program start.
+    Returns True when a multi-process runtime was brought up.
+    """
+    import os
+
+    if coordinator_address is None:
+        coordinator_address = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if num_processes is None:
+        n = os.environ.get("JAX_NUM_PROCESSES")
+        num_processes = int(n) if n else None
+    if process_id is None:
+        pid = os.environ.get("JAX_PROCESS_ID")
+        process_id = int(pid) if pid else None
+    if coordinator_address is None and num_processes is None:
+        return False  # plain single-process run
+    jax.distributed.initialize(coordinator_address, num_processes, process_id)
+    return True
+
+
+def make_hybrid_mesh(
+    n_obs: int | None = None, n_freq: int | None = None
+) -> Mesh:
+    """("obs", "freq") mesh spanning hosts x local devices.
+
+    Multi-process (after initialize_distributed): "obs" strides across
+    hosts — observation geometries are independent, so the only DCN
+    traffic is the final measurement gather — while "freq" packs each
+    host's local chips so the per-spectrum reductions and the OEM
+    normal-equation psums ride ICI (SURVEY.md 2.7's MPI->collectives
+    mapping).  Explicit n_obs/n_freq override the host/local split
+    (n_obs must then be a multiple of the process count).
+    Single-process: delegates to make_mesh over the local devices.
+    """
+    n_proc = jax.process_count()
+    if n_proc == 1:
+        return make_mesh(n_obs=n_obs, n_freq=n_freq)
+    from jax.experimental import mesh_utils
+
+    n_local = jax.local_device_count()
+    if n_obs is None:
+        n_obs = n_proc
+    if n_freq is None:
+        n_freq = (n_proc * n_local) // n_obs
+    assert n_obs % n_proc == 0 or n_proc % n_obs == 0, (
+        f"obs axis {n_obs} must align with {n_proc} hosts"
+    )
+    devices = mesh_utils.create_hybrid_device_mesh(
+        mesh_shape=(max(1, n_obs // n_proc), n_freq),
+        dcn_mesh_shape=(min(n_obs, n_proc), 1),
+    )
+    return Mesh(devices.reshape(n_obs, n_freq), ("obs", "freq"))

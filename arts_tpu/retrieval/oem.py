@@ -85,10 +85,23 @@ def oem(
     n = x_a.size
     m = y_obs.size
 
+    # 1-D covariances are diagonal (variances): the m-axis algebra stays
+    # elementwise, so a measurement vector sharded over the mesh never
+    # materializes an m x m matrix — the psum-reduced contraction path
     S_a = jnp.asarray(S_a)
     S_e = jnp.asarray(S_e)
-    Sa_inv = jnp.linalg.inv(S_a)
-    Se_inv = jnp.linalg.inv(S_e)
+    diag_e = S_e.ndim == 1
+    diag_a = S_a.ndim == 1
+    Sa_inv = 1.0 / S_a if diag_a else jnp.linalg.inv(S_a)
+    Se_inv = 1.0 / S_e if diag_e else jnp.linalg.inv(S_e)
+
+    def SeI(v):  # Se^-1 @ v for vector [m] or matrix [m, k]
+        return Se_inv.reshape((m,) + (1,) * (v.ndim - 1)) * v if diag_e else Se_inv @ v
+
+    def SaI(v):
+        return Sa_inv * v if diag_a else Sa_inv @ v
+
+    Sa_inv_mat = jnp.diag(Sa_inv) if diag_a else Sa_inv
 
     if jac_mode == "auto":
         jac_mode = "fwd" if n <= m else "rev"
@@ -100,8 +113,8 @@ def oem(
     def cost_parts(x, y):
         dy = y - y_obs
         dx = x - x_a
-        cy = float(dy @ Se_inv @ dy)
-        cx = float(dx @ Sa_inv @ dx)
+        cy = float(dy @ SeI(dy))
+        cx = float(dx @ SaI(dx))
         return cy, cx
 
     x = x_a
@@ -115,23 +128,24 @@ def oem(
     J = None
 
     def step_nform(J, JtSe, H, g, gamma):
-        Hd = H + gamma * Sa_inv  # Marquardt damping scaled by Sa^-1
+        Hd = H + gamma * Sa_inv_mat  # Marquardt damping scaled by Sa^-1
         return _solve_spd(Hd, g, use_cg)
 
     def step_mform(J, y, gamma):
         # x+ = x_a + Sa_g J^T (J Sa_g J^T + Se)^-1 (dy + J (x - x_a)),
         # Sa_g = Sa/(1+gamma): identical to nform H + gamma Sa^-1
         Sa_g = S_a / (1.0 + gamma)
-        K = Sa_g @ J.T
+        K = Sa_g[:, None] * J.T if diag_a else Sa_g @ J.T
         rhs = (y_obs - y) + J @ (x - x_a)
-        lam = _solve_spd(J @ K + S_e, rhs, use_cg)
+        JK_Se = J @ K + (jnp.diag(S_e) if diag_e else S_e)
+        lam = _solve_spd(JK_Se, rhs, use_cg)
         return (x_a + K @ lam) - x
 
     for it in range(1, max_iter + 1):
         J = jac_fn(x)
-        JtSe = J.T @ Se_inv
-        H = JtSe @ J + Sa_inv  # curvature (no LM damping)
-        g = JtSe @ (y_obs - y) - Sa_inv @ (x - x_a)
+        JtSe = SeI(J).T  # [n, m]
+        H = JtSe @ J + Sa_inv_mat  # curvature (no LM damping)
+        g = JtSe @ (y_obs - y) - SaI(x - x_a)
 
         if method == "lm":
             accepted = False
@@ -178,11 +192,12 @@ def oem(
 
     # diagnostics at the solution
     J = jac_fn(x)
-    JtSe = J.T @ Se_inv
-    H = JtSe @ J + Sa_inv
+    JtSe = SeI(J).T
+    H = JtSe @ J + Sa_inv_mat
     if formulation == "mform":
-        K = S_a @ J.T
-        G = K @ jnp.linalg.inv(J @ K + S_e)  # gain, measurement-space form
+        K = S_a[:, None] * J.T if diag_a else S_a @ J.T
+        JK_Se = J @ K + (jnp.diag(S_e) if diag_e else S_e)
+        G = K @ jnp.linalg.inv(JK_Se)  # gain, measurement-space form
     else:
         G = _solve_spd(H, JtSe)  # gain matrix (measurement_gain_mat parity)
     A = G @ J  # averaging kernel (measurement_averaging_kernelCalc)

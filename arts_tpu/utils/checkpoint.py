@@ -70,3 +70,25 @@ class SweepCheckpointer:
         leaves, treedef = jax.tree_util.tree_flatten(like)
         new_leaves = [data[f"leaf_{i}"] for i in range(len(leaves))]
         return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
+def checkpointed_sweep(step_fn, n_steps: int, checkpointer, init_state):
+    """Run state = step_fn(state, step) for step 0..n_steps-1 with a save
+    after every step, resuming from the latest checkpoint when one exists.
+
+    The failure-tolerance loop the reference lacks (SURVEY.md section 5:
+    long ARTS runs restart from scratch): a killed process re-enters here,
+    restores the last completed step's state, and continues — the resumed
+    sweep is bit-identical to an uninterrupted one because each step sees
+    exactly the same (state, step) inputs.
+    """
+    state = init_state
+    start = 0
+    latest = checkpointer.latest_step()
+    if latest is not None:
+        state = checkpointer.restore(latest, init_state)
+        start = latest + 1
+    for step in range(start, n_steps):
+        state = step_fn(state, step)
+        checkpointer.save(step, state)
+    return state

@@ -134,3 +134,76 @@ def test_plots_headless():
     fig4, _ = plots.atm_profiles(SCENE.atm)
     for g in (fig, fig2, fig3, fig4):
         assert g is not None
+
+
+def test_checkpointed_sweep_killed_and_resumed(tmp_path):
+    """A sweep killed mid-way and re-entered resumes from the last saved
+    step and produces results identical to an uninterrupted run — driving
+    a real radiance sweep through the checkpoint path (VERDICT round-1
+    item 10)."""
+    import jax.numpy as jnp
+
+    from arts_tpu.fwd import simulate_clearsky
+    from arts_tpu.utils.checkpoint import checkpointed_sweep
+    from tests.test_clearsky import SCENE, toa_nadir_path
+
+    p = toa_nadir_path()
+    alt, dr = jnp.asarray(p.alt), jnp.asarray(p.dr)
+    chunks = [jnp.linspace(170e9 + 10e9 * i, 180e9 + 10e9 * i, 16)
+              for i in range(5)]
+
+    def step_fn(state, step):
+        I = simulate_clearsky(SCENE, chunks[step], alt, dr,
+                              background="surface")
+        return {"sum": state["sum"] + float(I.sum()),
+                "done": jnp.asarray(state["done"]).at[step].set(1.0)}
+
+    init = {"sum": 0.0, "done": jnp.zeros(5)}
+
+    # uninterrupted reference run
+    ref = checkpointed_sweep(step_fn, 5, SweepCheckpointer(tmp_path / "a"),
+                             init)
+
+    # interrupted run: the process "dies" after step 2's save
+    class Killed(RuntimeError):
+        pass
+
+    def dying_step(state, step):
+        if step == 3:
+            raise Killed()
+        return step_fn(state, step)
+
+    ck = SweepCheckpointer(tmp_path / "b")
+    try:
+        checkpointed_sweep(dying_step, 5, ck, init)
+        assert False, "should have been killed"
+    except Killed:
+        pass
+    assert ck.latest_step() == 2
+
+    # re-entry with a FRESH checkpointer (new process): resumes at step 3
+    resumed = checkpointed_sweep(
+        step_fn, 5, SweepCheckpointer(tmp_path / "b"), init
+    )
+    np.testing.assert_allclose(
+        np.asarray(resumed["done"]), np.asarray(ref["done"]), rtol=0
+    )
+    np.testing.assert_allclose(resumed["sum"], ref["sum"], rtol=0)
+
+
+def test_hybrid_mesh_and_distributed_helpers():
+    """Single-process behavior of the multi-host helpers: make_hybrid_mesh
+    falls back to the local mesh; initialize_distributed is a no-op
+    without coordination env vars."""
+    from arts_tpu.parallel import (
+        initialize_distributed,
+        make_hybrid_mesh,
+        make_mesh,
+    )
+
+    assert initialize_distributed() is False
+    m = make_hybrid_mesh(n_obs=2, n_freq=4)
+    assert m.axis_names == ("obs", "freq")
+    assert m.devices.shape == (2, 4)
+    m2 = make_mesh(n_obs=2, n_freq=4)
+    assert (m.devices == m2.devices).all()

@@ -78,3 +78,54 @@ def test_sharded_oem_normal_equations():
         )
     np.testing.assert_allclose(np.asarray(H1), np.asarray(H0), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), rtol=1e-12)
+
+
+def test_sharded_oem_end_to_end():
+    """Drive oem() itself with a measurement vector sharded over the mesh:
+    the forward model's frequency axis (raw radiances as y) rides "freq",
+    J is computed per-shard, and the normal-equation contractions reduce
+    with XLA-inserted psums — the retrieved state must equal the
+    replicated run (VERDICT round-1 item 8)."""
+    mesh = make_mesh(n_obs=1, n_freq=8)
+    mapping = StateMapping(targets=[vmr_targets()], ref_scene=SCENE)
+    n = mapping.n_state
+    z = np.asarray(SCENE.atm.z)
+    bump = jnp.asarray(1.0 + 0.12 * np.exp(-0.5 * ((z - 4e3) / 3e3) ** 2))
+
+    p = toa_nadir_path()
+    alt, dr = jnp.asarray(p.alt), jnp.asarray(p.dr)
+    f = jnp.linspace(175e9, 235e9, 64)
+
+    def forward_for(fg):
+        def fwd(x):
+            return simulate_clearsky(
+                mapping.to_scene(x), fg, alt, dr, background="surface"
+            )
+        return fwd
+
+    y_true = forward_for(f)(bump)
+    x_a = jnp.ones((n,))
+    noise = 1e-4 * float(jnp.abs(y_true).mean())
+    S_e = jnp.full((y_true.size,), noise**2)  # diagonal (1-D) variances
+    d = np.abs(z[:, None] - z[None, :])
+    S_a = jnp.asarray(0.3**2 * np.exp(-d / 10e3))
+
+    r0 = oem(forward_for(f), x_a, y_true, S_a, S_e, method="gn", max_iter=6)
+    assert r0.converged
+
+    sh = NamedSharding(mesh, P("freq"))
+    with mesh:
+        r1 = oem(
+            forward_for(jax.device_put(f, sh)),
+            x_a,
+            jax.device_put(y_true, sh),
+            S_a,
+            jax.device_put(S_e, sh),
+            method="gn",
+            max_iter=6,
+        )
+    assert r1.converged and r1.n_iter == r0.n_iter
+    np.testing.assert_allclose(np.asarray(r1.x), np.asarray(r0.x), atol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(r1.gain), np.asarray(r0.gain), rtol=1e-8, atol=1e-30
+    )

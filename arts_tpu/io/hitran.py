@@ -62,9 +62,14 @@ class HitranRecord:
     q_lower: str
     q_local_upper: str = ""
     q_local_lower: str = ""
+    state: object = None  # QuantumState from the extended format
 
 
 def parse_par_line(line: str) -> HitranRecord:
+    """One .par record; the extended arts format (lbl_hitran.cpp:92
+    read_hitran_par_record with [par, statep, statepp] order) appends
+    comma-separated 'key=value;...' quantum states after column 160 —
+    captured into .state when present."""
     mol = int(line[0:2])
     iso_ch = line[2]
     iso = int(iso_ch, 36) if not iso_ch.isdigit() else int(iso_ch)  # 'A' = 10
@@ -92,7 +97,39 @@ def parse_par_line(line: str) -> HitranRecord:
         q_lower=line[82:97].strip(),
         q_local_upper=line[97:112],
         q_local_lower=line[112:127],
+        state=_trailing_state(line),
     )
+
+
+def _trailing_state(line: str):
+    """Extended-format trailing quantum states (after column 160)."""
+    rest = line.rstrip("\n")[160:]
+    if not rest.startswith(","):
+        return None
+    parts = rest.split(",")
+    if len(parts) < 3:
+        return None
+    from .quantum import from_hitran
+
+    return from_hitran(parts[1], parts[2])
+
+
+def record_state(rec: HitranRecord):
+    """Best-available QuantumState for a record: the extended trailing
+    states when present, else the classic global+local quanta fields."""
+    if rec.state is not None:
+        return rec.state
+    from .quantum import (
+        global_quanta_diatomic,
+        local_quanta_diatomic,
+        merge_states,
+    )
+
+    loc = local_quanta_diatomic(rec.q_local_upper, rec.q_local_lower)
+    glo = global_quanta_diatomic(rec.q_upper, rec.q_lower)
+    if loc is None and not (glo.upper or glo.lower):
+        return None
+    return merge_states(glo, loc)
 
 
 _BRANCH = {"O": -2, "P": -1, "Q": 0, "R": 1, "S": 2}
@@ -372,3 +409,57 @@ def catalog_from_par(
         ls_law=j(ls_law[order]),
         ls_x=j(ls_x[order]),
     )
+
+
+def zeeman_catalog_from_par(
+    path_or_lines,
+    species_list,
+    q296=None,
+    strength_option="S",
+    cutoff=np.inf,
+    fmin=0.0,
+    fmax=np.inf,
+):
+    """ZeemanCatalog straight from a .par file — no user-supplied g's.
+
+    Per line the quantum state comes from record_state (extended trailing
+    states or classic diatomic quanta) and the Lande g's from
+    io.quantum.zeeman_g (GetAdvancedModel + SimpleG parity,
+    lbl_zeeman.cpp:122-261); lines whose state lacks J are kept unsplit
+    (g = 0), matching the reference's "no Zeeman effect" fallback.
+    """
+    from ..lbl.catalog import build_catalog
+    from ..lbl.zeeman import expand_zeeman
+    from .quantum import zeeman_g
+
+    lines = read_par(
+        path_or_lines, species_list, q296=q296,
+        strength_option=strength_option, cutoff=cutoff, fmin=fmin, fmax=fmax,
+    )
+    records = [
+        r for r in read_par_records(path_or_lines, fmin=fmin, fmax=fmax)
+        if ISOTOPOLOGUES.get(r.isotopologue) is not None
+        and ISOTOPOLOGUES[r.isotopologue].species in species_list
+    ]
+    assert len(records) == len(lines)
+    jus, jls, gus, gls = [], [], [], []
+    for r in records:
+        st = record_state(r)
+        if st is None or not st.has("J"):
+            jus.append(0.0)
+            jls.append(0.0)
+            gus.append(0.0)
+            gls.append(0.0)
+            continue
+        ju, jl = st.at("J")
+        gu, gl = zeeman_g(r.isotopologue, st)
+        jus.append(float(ju))
+        jls.append(float(jl))
+        gus.append(gu)
+        gls.append(gl)
+    order = np.argsort([l["f0"] for l in lines])
+    lines = [lines[i] for i in order]
+    reorder = lambda a: [a[i] for i in order]
+    cat = build_catalog(lines)
+    return expand_zeeman(cat, reorder(jus), reorder(jls),
+                         reorder(gus), reorder(gls))

@@ -1,0 +1,159 @@
+"""ARO (azimuthally-random orientation) scattering tests.
+
+Validation strategy (VERDICT round-1 item 5): the analytic Rayleigh
+oriented-spheroid source fills the reference's ARO gridded layout
+(single_scattering_data.h:43); a brute-force angular integration of the
+generated phase matrix must close the energy budget against the
+extinction/absorption elements (optical theorem), oriented particles
+must produce nonzero off-diagonal propmat elements, and the isotropic
+limit must reduce to the TRO Rayleigh phase function.
+"""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from arts_tpu.scattering import (
+    SingleScatteringDataARO,
+    bulk_aro_properties,
+    load_legacy_aro,
+    rayleigh_spheroid_aro,
+)
+
+F = jnp.asarray([100e9, 300e9])
+ALPHA_H = 4e-17 + 6e-19j  # [m^3] oblate-like: stronger horizontal response
+ALPHA_V = 1.5e-17 + 2e-19j
+
+
+def _ssd(nfine=False):
+    kw = {}
+    if nfine:
+        kw = dict(
+            za_inc_grid=np.linspace(0.0, 180.0, 19),
+            delta_aa_grid=np.linspace(0.0, 180.0, 91),
+            za_scat_grid=np.linspace(0.0, 180.0, 181),
+        )
+    return rayleigh_spheroid_aro(F, ALPHA_H, ALPHA_V, **kw)
+
+
+def test_energy_closure_brute_force():
+    """Integral of Z11 over the sphere == K11 - a1 (and the polarized
+    analogue for K12 - a2), brute-force on the stored grids."""
+    ssd = _ssd(nfine=True)
+    k = 2.0 * np.pi * np.asarray(F) / 299792458.0
+    # grid-aligned angles: the analytic K12 - a2 check is exact only at
+    # the stored za_inc nodes (linear interp vs the cos^2 law between)
+    for za_inc in (0.0, 40.0, 70.0, 90.0):
+        csca = np.asarray(ssd.scattering_xsec(F, 250.0, za_inc))
+        K = np.asarray(ssd.extinction_propmat(F, 250.0, za_inc))
+        a = np.asarray(ssd.absorption_stokvec(F, 250.0, za_inc))
+        np.testing.assert_allclose(csca, K[:, 0] - a[:, 0], rtol=2e-4)
+        # analytic polarized closure: K12 - a2 = (cs_v - cs_h)/2
+        zi = np.deg2rad(za_inc)
+        av2 = (np.abs(ALPHA_H) ** 2 * np.cos(zi) ** 2
+               + np.abs(ALPHA_V) ** 2 * np.sin(zi) ** 2)
+        ah2 = np.abs(ALPHA_H) ** 2
+        dcs = 0.5 * (8.0 * np.pi / 3.0) * (av2 - ah2) * k**4
+        np.testing.assert_allclose(K[:, 1] - a[:, 1], dcs, rtol=1e-10,
+                                   atol=1e-30)
+
+
+def test_oriented_extinction_off_diagonals():
+    """Nonzero B (dichroism) and W (birefringence) at slant incidence,
+    vanishing at vertical incidence where both polarizations see only
+    the horizontal polarizability."""
+    ssd = _ssd()
+    K0 = np.asarray(ssd.extinction_propmat(F, 250.0, 0.0))
+    K60 = np.asarray(ssd.extinction_propmat(F, 250.0, 60.0))
+    K90 = np.asarray(ssd.extinction_propmat(F, 250.0, 90.0))
+    assert np.allclose(K0[:, 1], 0.0, atol=1e-12 * K0[:, 0].max())
+    assert np.allclose(K0[:, 6], 0.0, atol=1e-12 * K0[:, 0].max())
+    assert np.all(np.abs(K60[:, 1]) > 0.01 * K60[:, 0])
+    assert np.all(np.abs(K90[:, 1]) > np.abs(K60[:, 1]))
+    assert np.all(np.abs(K60[:, 6]) > 0.0)
+    # alpha_h > alpha_v (oblate): horizontal pol extinguishes more ->
+    # K12 = (C_v - C_h)/2 < 0
+    assert np.all(K90[:, 1] < 0.0)
+
+
+def test_isotropic_limit_reduces_to_rayleigh_tro():
+    """alpha_h == alpha_v: no dichroism, and Z11 is the Rayleigh
+    (1 + cos^2 Theta)/2 k^4 |alpha|^2 law of the scattering angle only."""
+    a0 = 3e-17 + 4e-19j
+    ssd = rayleigh_spheroid_aro(F, a0, a0)
+    K = np.asarray(ssd.extinction_propmat(F, 250.0, 55.0))
+    assert np.allclose(K[:, 1:], 0.0, atol=1e-14 * K[:, 0].max())
+    k = 2.0 * np.pi * np.asarray(F) / 299792458.0
+    for (zi, da, zs) in [(0.0, 0.0, 70.0), (40.0, 60.0, 110.0),
+                         (90.0, 120.0, 30.0)]:
+        Z = np.asarray(ssd.phase_matrix(F, 250.0, zi, da, zs))
+        ct = (np.cos(np.deg2rad(zi)) * np.cos(np.deg2rad(zs))
+              + np.sin(np.deg2rad(zi)) * np.sin(np.deg2rad(zs))
+              * np.cos(np.deg2rad(da)))
+        expect = 0.5 * (1.0 + ct**2) * k**4 * np.abs(a0) ** 2
+        np.testing.assert_allclose(Z[:, 0, 0], expect, rtol=1e-10)
+
+
+def test_polarized_pencil_beam_through_oriented_layer():
+    """Unpolarized radiation through an oriented-hydrometeor layer picks
+    up Q (dichroic differential extinction) — the pencil-beam polarized
+    extinction path (rtepack_scattering parity) with zero new RT code."""
+    from arts_tpu.ops.planck import planck
+    from arts_tpu.rtepack.emission import emission_polarized
+
+    ssd = _ssd()
+    n0 = 2e8  # particles / m^3
+    K1, a1 = bulk_aro_properties([ssd], [n0], F, 250.0, 75.0)
+    npts = 5
+    k = jnp.broadcast_to(K1, (npts,) + K1.shape)  # [np, F, 7]
+    B = planck(F, 260.0)
+    # emission source J = K^-1 (a * B) (absorption-vector emission)
+    from arts_tpu.rtepack.propmat import inv as pm_inv, matvec
+
+    S = a1 * B[:, None]
+    J1 = matvec(pm_inv(K1), S)
+    J = jnp.broadcast_to(J1, (npts,) + J1.shape)
+    r = jnp.full((npts - 1,), 500.0)
+    I0 = jnp.zeros(F.shape + (4,)).at[..., 0].set(planck(F, 285.0))
+    I = np.asarray(emission_polarized(k, J, r, I0))
+    assert np.all(np.isfinite(I))
+    assert np.all(np.abs(I[:, 1]) > 1e-4 * I[:, 0])  # Q produced
+    # optically thin sanity: I stays below the warm background
+    assert np.all(I[:, 0] < np.asarray(planck(F, 285.0)) * (1 + 1e-12))
+
+
+def test_legacy_aro_roundtrip():
+    ssd = _ssd()
+    legacy = dict(
+        T_grid=np.asarray(ssd.t_grid),
+        f_grid=np.asarray(ssd.f_grid),
+        za_inc_grid=np.asarray(ssd.za_inc_grid),
+        aa_grid=np.asarray(ssd.delta_aa_grid),
+        za_grid=np.asarray(ssd.za_scat_grid),
+        pha_mat_data=np.transpose(
+            np.asarray(ssd.phase), (1, 0, 4, 3, 2, 5)
+        )[:, :, :, :, :, None, :],
+        ext_mat_data=np.transpose(np.asarray(ssd.extinction), (1, 0, 2, 3))[
+            :, :, :, None, :
+        ],
+        abs_vec_data=np.transpose(np.asarray(ssd.absorption), (1, 0, 2, 3))[
+            :, :, :, None, :
+        ],
+    )
+    back = load_legacy_aro(legacy)
+    np.testing.assert_allclose(np.asarray(back.phase), np.asarray(ssd.phase))
+    np.testing.assert_allclose(
+        np.asarray(back.extinction), np.asarray(ssd.extinction)
+    )
+    K1 = np.asarray(ssd.extinction_propmat(F, 250.0, 50.0))
+    K2 = np.asarray(back.extinction_propmat(F, 250.0, 50.0))
+    np.testing.assert_allclose(K2, K1)
+
+
+def test_bulk_weighted_sum():
+    ssd = _ssd()
+    K1, a1 = bulk_aro_properties([ssd, ssd], [1e8, 2e8], F, 250.0, 40.0)
+    K2, a2 = bulk_aro_properties([ssd], [3e8], F, 250.0, 40.0)
+    np.testing.assert_allclose(np.asarray(K1), np.asarray(K2), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), rtol=1e-12)

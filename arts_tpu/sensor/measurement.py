@@ -36,22 +36,106 @@ def stack_paths(paths):
     return jnp.asarray(alts), jnp.asarray(drs), [p.background for p in paths]
 
 
+def _simulate_batch(scene, f_grid, alts, drs, backgrounds):
+    """Radiances [G, F] for stacked geometries; mixed background types are
+    split into per-background sub-batches (the reference splits
+    simulations by observer agenda) and scattered back in order."""
+    groups = {}
+    for i, b in enumerate(backgrounds):
+        groups.setdefault(b, []).append(i)
+    I = None
+    for bg, idx in groups.items():
+        sim = jax.vmap(
+            lambda a, d: simulate_clearsky(scene, f_grid, a, d, background=bg)
+        )
+        Ib = sim(alts[jnp.asarray(idx)], drs[jnp.asarray(idx)])
+        if I is None:
+            I = jnp.zeros((len(backgrounds),) + Ib.shape[1:], Ib.dtype)
+        I = I.at[jnp.asarray(idx)].set(Ib)
+    return I
+
+
 def measurement_vector(
     scene, sensor: SensorArray, f_grid, paths, background: str = "surface"
 ):
-    """y [n_elements] for a batch of geometries sharing one f_grid.
-
-    All paths must share the same background type (split the batch
-    otherwise, as the reference splits simulations by agenda)."""
+    """y [n_elements] for a batch of geometries sharing one f_grid."""
     alts, drs, bgs = stack_paths(paths)
-    assert all(b == bgs[0] for b in bgs), "mixed backgrounds: split the batch"
-    sim = jax.vmap(
-        lambda a, d: simulate_clearsky(
-            scene, f_grid, a, d, background=background
-        )
+    I = _simulate_batch(
+        scene, f_grid, alts, drs, [b or background for b in bgs]
     )
-    I = sim(alts, drs)  # [G, F]
     return sensor.apply(I)
+
+
+@dataclasses.dataclass(frozen=True)
+class Obsel:
+    """One observation element group: a sensor weight set over a SHARED
+    (f_grid, paths) simulation grid (obsel.h:105-155 — the sharing is
+    what the dedup below exploits, as the reference's pointer-keyed
+    cache does)."""
+
+    sensor: SensorArray
+    f_grid: object
+    paths: tuple
+    background: str = "surface"
+
+
+def collect_simulations(obsels):
+    """Dedup shared (f_grid, paths, background) across obsels.
+
+    Parity: m_rad.cc:385-400 — the reference keys its cache on the
+    f_grid/poslos POINTERS; here identity of the Python objects first,
+    then value equality (array bytes) as a fallback, so independently
+    constructed but equal grids still dedup.  Returns (groups,
+    obsel_to_group): groups = list of (f_grid, paths, background).
+    """
+    groups = []
+    keymap = {}
+    obsel_to_group = []
+
+    def value_key(ob):
+        fg = np.asarray(ob.f_grid)
+        pk = tuple(
+            (
+                np.asarray(p.alt).tobytes(),
+                np.asarray(p.dr).tobytes(),
+            )
+            for p in ob.paths
+        )
+        return (fg.tobytes(), pk, ob.background)
+
+    for ob in obsels:
+        ident = (id(ob.f_grid), id(ob.paths), ob.background)
+        if ident in keymap:
+            obsel_to_group.append(keymap[ident])
+            continue
+        vk = value_key(ob)
+        if vk in keymap:
+            keymap[ident] = keymap[vk]
+            obsel_to_group.append(keymap[vk])
+            continue
+        gi = len(groups)
+        groups.append((ob.f_grid, ob.paths, ob.background))
+        keymap[ident] = gi
+        keymap[vk] = gi
+        obsel_to_group.append(gi)
+    return groups, obsel_to_group
+
+
+def measurement_vector_from_obsels(scene, obsels):
+    """y for a heterogeneous obsel list: each unique (f_grid, paths)
+    simulation batch runs ONCE (the HighPerf dedup), then every obsel
+    contracts its weights from the cached radiances; results concatenate
+    in obsel order (measurement_vecFromSensor parity, m_rad.cc:469)."""
+    groups, o2g = collect_simulations(obsels)
+    cache = []
+    for f_grid, paths, bg in groups:
+        alts, drs, bgs = stack_paths(paths)
+        cache.append(
+            _simulate_batch(scene, f_grid, alts, drs, [b or bg for b in bgs])
+        )
+    return jnp.concatenate(
+        [ob.sensor.apply(cache[g]) for ob, g in zip(obsels, o2g)]
+    ), len(groups)
 
 
 def measurement_jacobian(scene, sensor, f_grid, paths, mapping, background="surface"):

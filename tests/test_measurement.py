@@ -112,3 +112,79 @@ def test_camera_channels():
     I = jnp.asarray(np.arange(24, dtype=np.float64).reshape(12, 2))
     y = np.asarray(sa.apply(I))
     np.testing.assert_allclose(y, np.arange(24.0), rtol=1e-15)
+
+
+def test_collect_simulations_dedup():
+    """Shared (f_grid, paths) dedup by identity AND by value
+    (m_rad.cc:385-400 pointer-cache parity)."""
+    from arts_tpu.sensor.measurement import Obsel, collect_simulations
+
+    paths = tuple(make_paths())
+    f1 = F_GRID
+    f2 = jnp.array(np.asarray(F_GRID))  # equal by value, distinct object
+    s = gaussian_channels(
+        np.asarray(F_GRID), centers=np.linspace(180e9, 230e9, 5), fwhm=2e9
+    )
+    obsels = [
+        Obsel(sensor=s, f_grid=f1, paths=paths),          # group 0
+        Obsel(sensor=s, f_grid=f1, paths=paths),          # identity dup
+        Obsel(sensor=s, f_grid=f2, paths=tuple(make_paths())),  # value dup
+        Obsel(sensor=s, f_grid=f1[:32], paths=paths),     # new group
+    ]
+    groups, o2g = collect_simulations(obsels)
+    assert len(groups) == 2
+    assert o2g == [0, 0, 0, 1]
+
+
+def test_measurement_vector_from_obsels_matches_per_obsel():
+    from arts_tpu.sensor.measurement import (
+        Obsel,
+        measurement_vector,
+        measurement_vector_from_obsels,
+    )
+
+    paths = tuple(make_paths())
+    s1 = gaussian_channels(
+        np.asarray(F_GRID), centers=np.linspace(180e9, 230e9, 5), fwhm=2e9
+    )
+    s2 = gaussian_channels(
+        np.asarray(F_GRID), centers=np.linspace(175e9, 235e9, 7), fwhm=3e9,
+        geo_idx=1,
+    )
+    obsels = [
+        Obsel(sensor=s1, f_grid=F_GRID, paths=paths),
+        Obsel(sensor=s2, f_grid=F_GRID, paths=paths),
+    ]
+    y, n_groups = measurement_vector_from_obsels(SCENE, obsels)
+    assert n_groups == 1  # one shared simulation batch for both obsels
+    y1 = measurement_vector(SCENE, s1, F_GRID, list(paths))
+    y2 = measurement_vector(SCENE, s2, F_GRID, list(paths))
+    np.testing.assert_allclose(
+        np.asarray(y), np.concatenate([np.asarray(y1), np.asarray(y2)]),
+        rtol=1e-12,
+    )
+
+
+def test_mixed_background_batch_splits():
+    """A geometry batch mixing surface-ending and space-ending paths is
+    split per background instead of asserting (the reference splits
+    simulations by observer agenda)."""
+    from arts_tpu.fwd import simulate_clearsky
+    from arts_tpu.sensor import raw_channels
+    from arts_tpu.sensor.measurement import measurement_vector, stack_paths
+
+    paths = [
+        geometric_path_1d(100e3, 180.0, 0.0, 80e3, 3000.0),   # surface
+        geometric_path_1d(0.0, 0.0, 0.0, 80e3, 3000.0),       # upward: space
+    ]
+    assert {p.background for p in paths} == {"surface", "space"}
+    f = F_GRID[:16]
+    s = raw_channels(16, geo_idx=0)
+    y = measurement_vector(SCENE, s, f, paths)
+    alts, drs, _ = stack_paths(paths)
+    I0 = simulate_clearsky(SCENE, f, alts[0], drs[0], background="surface")
+    np.testing.assert_allclose(np.asarray(y), np.asarray(I0), rtol=1e-12)
+    s2 = raw_channels(16, geo_idx=1)
+    y2 = measurement_vector(SCENE, s2, f, paths)
+    I1 = simulate_clearsky(SCENE, f, alts[1], drs[1], background="space")
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(I1), rtol=1e-12)

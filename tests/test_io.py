@@ -197,3 +197,51 @@ def test_jpl_cat_reader():
 
     # unknown tags are skipped, not fatal
     assert read_cat([row.replace("-18003", "-99999")], ["H2O"]) == []
+
+
+def test_catalog_data_layer(tmp_path, monkeypatch):
+    """Cache-dir ingestion of the arts-cat-data layout, driven by the
+    in-tree fixture (pyarts3.data download/to_abs_species parity)."""
+    import shutil
+
+    from arts_tpu.io.data import download, read_catalog_data, to_abs_species
+
+    # build a minimal arts-cat-data layout from the in-tree fixture
+    cat = tmp_path / "arts-cat-data-2.6"
+    (cat / "lines").mkdir(parents=True)
+    shutil.copy(f"{REF}/tests/core/nlte/nlte_lines.xml",
+                cat / "lines" / "H2O-161.xml")
+    (cat / "cia").mkdir()
+    monkeypatch.setenv("ARTS_CAT_DATA_DIR", str(cat))
+    monkeypatch.delenv("ARTS_DATA_PATH", raising=False)
+
+    # download() resolves a populated cache instead of fetching
+    roots = download(data=("cat",), download_dir=tmp_path)
+    assert roots == [cat]
+    # and errors helpfully when the cache is empty (offline)
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        download(data=("xml",), download_dir=tmp_path)
+    # ARTS_DATA_PATH opt-out
+    monkeypatch.setenv("ARTS_DATA_PATH", str(tmp_path))
+    assert download() == [tmp_path]
+    monkeypatch.delenv("ARTS_DATA_PATH")
+
+    tags = to_abs_species(["H2O", "N2"])
+    assert "H2O-SelfContCKDMT400" in tags and "N2" in tags
+
+    out = read_catalog_data(["H2O", "N2", "O2"])
+    assert out["cat"] is not None and out["cat"].n_lines == 9
+    # the ingested catalog produces the same absorption as the direct read
+    lines = load_abs_bands(
+        f"{REF}/tests/core/nlte/nlte_lines.xml", ["H2O", "N2", "O2"]
+    )
+    lines.sort(key=lambda l: l["f0"])
+    cat_direct = build_catalog(lines)
+    pf = rigid_rotor_table(1, 174.6, 1.5)
+    f = jnp.linspace(500e9, 600e9, 32)
+    vmr = jnp.asarray([0.01, 0.78, 0.21])
+    a1 = np.asarray(absorption(f, out["cat"], pf, 280.0, 5e4, vmr))
+    a2 = np.asarray(absorption(f, cat_direct, pf, 280.0, 5e4, vmr))
+    np.testing.assert_allclose(a1, a2, rtol=1e-12)

@@ -236,6 +236,10 @@ def read_par(
 
     species_list: VMR-vector species tags; lines of other species skipped.
     q296: {isotopologue: Q(296K)} needed when strength_option == "S".
+
+    iso_idx is assigned by FIRST APPEARANCE of each isotopologue in the
+    (frequency-ordered) input; build the PartFunTable rows in the same
+    order (iso_index_of_lines recovers the mapping).
     """
     if isinstance(path_or_lines, (list, tuple)):
         rows = path_or_lines
@@ -243,6 +247,7 @@ def read_par(
         with open(path_or_lines) as fh:
             rows = fh.readlines()
     out = []
+    iso_ids = {}
     for row in rows:
         if len(row.rstrip("\n")) < 120:
             continue
@@ -256,6 +261,7 @@ def read_par(
         if meta is None or meta.species not in species_list:
             continue
         spec_idx = species_list.index(meta.species)
+        iso_idx = iso_ids.setdefault(r.isotopologue, len(iso_ids))
         if strength_option == "S":
             if q296 is None or r.isotopologue not in q296:
                 raise KeyError(
@@ -283,7 +289,7 @@ def read_par(
                 iso_mass=meta.mass,
                 iso_ratio=meta.abundance,
                 spec_idx=spec_idx,
-                iso_idx=0,
+                iso_idx=iso_idx,
                 band_idx=0,
                 t0=296.0,
                 cutoff=cutoff,
@@ -291,6 +297,16 @@ def read_par(
                 isotopologue=r.isotopologue,
             )
         )
+    return out
+
+
+def iso_index_of_lines(lines):
+    """{isotopologue: iso_idx} as assigned by read_par (first appearance)."""
+    out = {}
+    for l in lines:
+        tag = l.get("isotopologue")
+        if tag is not None and tag not in out:
+            out[tag] = l["iso_idx"]
     return out
 
 
@@ -391,6 +407,14 @@ def catalog_from_par(
     ls_x[:, 1, 1, 0] = np.where(has_d, delta, 0.0)
 
     order = np.argsort(f0k)  # sorted by f0 (cutoff block-skip locality)
+    # iso_idx by first appearance in frequency order (same convention as
+    # the dict path; vectorized for multi-million-line catalogs)
+    names_sorted = iso_name[idx][order].astype(str)
+    _, first_idx, inv = np.unique(
+        names_sorted, return_index=True, return_inverse=True
+    )
+    rank = np.argsort(np.argsort(first_idx)).astype(np.int32)
+    iso_idx_arr = rank[inv]
     j = jnp.asarray
     return LineCatalog(
         f0=j(f0k[order]),
@@ -401,7 +425,7 @@ def catalog_from_par(
         iso_mass=j(mass[idx][order]),
         iso_ratio=j(ratio[idx][order]),
         spec_idx=j(spec_idx[idx][order]),
-        iso_idx=j(np.zeros(L, np.int32)),
+        iso_idx=j(iso_idx_arr),
         band_idx=j(np.zeros(L, np.int32)),
         t0=j(np.full(L, 296.0)),
         cutoff=j(np.full(L, cutoff)),

@@ -5,21 +5,27 @@ Faddeeva::w per (line, freq) inside OpenMP frequency chunks
 (/root/reference/src/m_lbl.cc:256-293, lbl_lineshape_voigt_lte.cpp:239).
 
 Kernel design (see pallas guide):
-  * grid = (freq tiles, line blocks); the output freq tile is revisited
-    across line blocks and accumulated in VMEM (reduction pattern).
+  * grid = (freq tiles, visited line blocks): a host-side (jnp, tiny)
+    interval test builds a per-tile list of line blocks whose cutoff
+    windows can intersect the tile; the block index map reads it from
+    scalar prefetch, so skipped blocks cost neither DMA nor compute
+    (the TPU analogue of the reference's active_lines span search,
+    lbl_data.h:270 — but applied to the iteration space itself).
+  * line attributes are passed as [L, 1] COLUMNS so the per-line
+    broadcasts against the [1, TF] frequency row are natural outer
+    products — no lane->sublane transposes inside the kernel.
   * per (line, freq) element: z = inv_gd*(f - f0) + i*z_imag, w(z) via a
-    Weideman rational of configurable order (complex arithmetic hand-rolled
-    as real pairs on the VPU) blended with the asymptotic Laurent series
-    for large |z|; ByLine cutoff = masked subtraction of the precomputed
-    per-line w(z_cut).
-  * lines are sorted by f0; blocks whose cutoff windows cannot intersect
-    the frequency tile are skipped via @pl.when on block extrema (the TPU
-    analogue of the reference's active_lines span search, lbl_data.h:270).
+    Weideman rational of configurable order (complex arithmetic as real
+    pairs on the VPU) blended with the asymptotic Laurent series for
+    large |z|; ByLine cutoff = masked subtraction of the per-line
+    Re(s * w(z_cut)) constant, folded at trace time.
   * far-wing fast path: when the WHOLE (tile, block) pair is provably in
-    the asymptotic region — min|z|^2 >= (igd_min*gap)^2 + zi_min^2 > R2,
-    from prefetched per-block extrema — only the ~20-flop Laurent series
-    runs, skipping the ~150-flop Weideman loop.  For wide grids most
-    visited pairs are wing-only, so this is ~2x on the whole contraction.
+    the asymptotic region — min|z|^2 >= (igd_min*gap)^2 + zi_min^2 —
+    only the ~20-flop Laurent series runs (3 terms at f32, 4 at f64),
+    skipping the Weideman loop.  At pressure-broadened microwave shapes
+    z_imag alone is >> the threshold, so this is the common path.
+  * the accumulator block is [8, TF] (all VPU sublanes busy); the final
+    8-row reduction happens outside the kernel.
 
 Frequencies/line centers should be passed pre-shifted by a common anchor
 (f - anchor) so float32 keeps sub-kHz resolution; line widths ~1e9 Hz.
@@ -40,6 +46,13 @@ _INV_SQRT_PI = 1.0 / math.sqrt(math.pi)
 _ASYM_R2 = 512.0
 
 
+def _reciprocal(x):
+    if x.dtype == jnp.float32:
+        y = pl.reciprocal(x, approx=True)
+        return y * (2.0 - x * y)  # one Newton step: ~2^-24 accurate
+    return 1.0 / x
+
+
 def _wofz_weideman(zr, zi, n):
     """Weideman rational approximation (wr, wi) for Im z >= 0."""
     Lw, a = _weideman_coeffs(n)
@@ -50,7 +63,7 @@ def _wofz_weideman(zr, zi, n):
     dr = Lw + zi  # Re(L - iz)
     di = -zr  # Im(L - iz)
     d2 = dr * dr + di * di
-    inv_d2 = 1.0 / d2
+    inv_d2 = _reciprocal(d2)
     nr = Lw - zi  # Re(L + iz)
     ni = zr  # Im(L + iz)
     Zr = (nr * dr + ni * di) * inv_d2
@@ -68,15 +81,22 @@ def _wofz_weideman(zr, zi, n):
 
 
 def _wofz_asym(zr, zi):
-    """Laurent series w ~ i/(sqrt(pi) z) sum c_k z^-2k for |z|^2 > _ASYM_R2."""
+    """Laurent series w ~ i/(sqrt(pi) z) sum c_k z^-2k for |z|^2 > _ASYM_R2.
+
+    3 terms at f32 (rel err ~1.9 |z|^-6 = 1.4e-8 at the gate), 4 at f64
+    (~6.5 |z|^-8 = 9.4e-11)."""
     r2 = zr * zr + zi * zi
-    inv_r2 = 1.0 / r2
+    inv_r2 = _reciprocal(r2)
     # 1/z^2 = (zr^2 - zi^2 - 2 i zr zi)/|z|^4
     u_r = (zr * zr - zi * zi) * inv_r2 * inv_r2
     u_i = (-2.0 * zr * zi) * inv_r2 * inv_r2
-    s_r = jnp.full_like(zr, 15.0 / 8.0)
+    if zr.dtype == jnp.float32:
+        coeffs, lead = (1.0 / 2.0, 1.0), 3.0 / 4.0
+    else:
+        coeffs, lead = (3.0 / 4.0, 1.0 / 2.0, 1.0), 15.0 / 8.0
+    s_r = jnp.full_like(zr, lead)
     s_i = jnp.zeros_like(zr)
-    for c in (3.0 / 4.0, 1.0 / 2.0, 1.0):
+    for c in coeffs:
         s_r, s_i = s_r * u_r - s_i * u_i + c, s_r * u_i + s_i * u_r
     # i/(sqrt(pi) z) = (zi + i zr)/(sqrt(pi)|z|^2)
     f_r = zi * inv_r2 * _INV_SQRT_PI
@@ -90,70 +110,70 @@ def _wofz_parts(zr, zi, n):
     big = r2 > _ASYM_R2
     w_r, w_i = _wofz_weideman(zr, zi, n)
     # evaluate the series at a safe point where masked out to avoid 1/0
-    zr_b = jnp.where(big, zr, 100.0)
-    zi_b = jnp.where(big, zi, 100.0)
+    safe = jnp.full_like(zr, 100.0)  # dtype-matched: a python literal
+    # here becomes an f64 scalar under x64 mode, which Mosaic rejects
+    zr_b = jnp.where(big, zr, safe)
+    zi_b = jnp.where(big, zi, safe)
     wa_r, wa_i = _wofz_asym(zr_b, zi_b)
     return jnp.where(big, wa_r, w_r), jnp.where(big, wa_i, w_i)
 
 
 def _voigt_kernel(
-    fmin_ref,
-    fmax_ref,
+    # scalar prefetch
+    blkidx_ref,  # [nf, max_visits] line-block index per (tile, slot)
+    nvisit_ref,  # [nf] visited-block count per tile
     f0min_ref,
     f0max_ref,
     igdmin_ref,
     zimin_ref,
-    f_ref,
-    f0_ref,
+    # blocks
+    f_ref,  # [1, TF]
+    f0_ref,  # [TL, 1]
     igd_ref,
     zi_ref,
     sr_ref,
     si_ref,
     cut_ref,
-    wcr_ref,
-    wci_ref,
-    out_ref,
+    swc_ref,
+    out_ref,  # [8, TF]
     *,
     n,
 ):
+    i = pl.program_id(0)
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    # block skip: line block j against this freq tile (extrema prefetched)
-    lo = fmin_ref[j]  # min over block of f0 - cut
-    hi = fmax_ref[j]  # max over block of f0 + cut
-    tile_lo = f_ref[0, 0]
-    tile_hi = f_ref[0, f_ref.shape[1] - 1]
-    visit = (hi >= tile_lo) & (lo <= tile_hi)
+    jb = blkidx_ref[i, j]  # actual line-block id this slot maps to
+    visit = j < nvisit_ref[i]
 
     # provable whole-tile asymptotic bound:
     # every |z|^2 >= (igd_min * gap)^2 + zi_min^2 with gap the separation
     # between the tile interval and the block's f0 interval
+    tile_lo = f_ref[0, 0]
+    tile_hi = f_ref[0, f_ref.shape[1] - 1]
     gap = jnp.maximum(
-        jnp.maximum(f0min_ref[j] - tile_hi, tile_lo - f0max_ref[j]), 0.0
+        jnp.maximum(f0min_ref[jb] - tile_hi, tile_lo - f0max_ref[jb]), 0.0
     )
-    gmin = igdmin_ref[j] * gap
-    asym = gmin * gmin + zimin_ref[j] * zimin_ref[j] > 2.0 * _ASYM_R2
+    gmin = igdmin_ref[jb] * gap
+    asym = gmin * gmin + zimin_ref[jb] * zimin_ref[jb] > 2.0 * _ASYM_R2
 
     def load():
-        f = f_ref[0, :]  # [TF]
-        f0 = f0_ref[0, :]  # [TL]
-        df = f[None, :] - f0[:, None]  # [TL, TF]
-        zr = igd_ref[0, :][:, None] * df
-        zim = jnp.broadcast_to(zi_ref[0, :][:, None], zr.shape)
+        df = f_ref[0, :][None, :] - f0_ref[:, 0][:, None]  # [TL, TF]
+        zr = igd_ref[:, 0][:, None] * df
+        zim = jnp.broadcast_to(zi_ref[:, 0][:, None], zr.shape)
         return df, zr, zim
 
     def accumulate(df, wr, wi):
-        wr = wr - wcr_ref[0, :][:, None]
-        wi = wi - wci_ref[0, :][:, None]
-        inside = jnp.abs(df) <= cut_ref[0, :][:, None]
-        sr = sr_ref[0, :][:, None]
-        si = si_ref[0, :][:, None]
-        contrib = jnp.where(inside, sr * wr - si * wi, 0.0)
-        out_ref[:] += jnp.sum(contrib, axis=0, keepdims=True)
+        inside = jnp.abs(df) <= cut_ref[:, 0][:, None]
+        sr = sr_ref[:, 0][:, None]
+        si = si_ref[:, 0][:, None]
+        vals = (sr * wr - si * wi) - swc_ref[:, 0][:, None]
+        contrib = jnp.where(inside, vals, jnp.zeros_like(vals))
+        tl, tf = contrib.shape
+        out_ref[:] += jnp.sum(contrib.reshape(tl // 8, 8, tf), axis=0)
 
     @pl.when(visit & asym)
     def _():
@@ -213,6 +233,10 @@ def voigt_sum(
         wcut_re = pads(wcut_re)
         wcut_im = pads(wcut_im)
 
+    # per-line cutoff-subtraction constant folded at trace time:
+    # contribution = Re(s w) - Re(s wcut) inside the window
+    swc = s_re * wcut_re - s_im * wcut_im
+
     # per-block extrema (host-side jnp, tiny)
     blk = lambda x: x.reshape(nl, tl)
     win_lo = jnp.min(blk(f0 - cutoff), axis=1)
@@ -222,47 +246,65 @@ def voigt_sum(
     igd_min = jnp.min(blk(inv_gd), axis=1)
     zi_min = jnp.min(blk(z_imag), axis=1)
 
-    row = lambda x: x.reshape(1, -1)
+    # visited-block lists per freq tile: the grid iterates only blocks
+    # whose window can overlap the tile (skipped blocks cost nothing)
+    tiles = f_grid.reshape(nf, tf)
+    t_lo = tiles[:, 0]
+    t_hi = tiles[:, -1]
+    visit = (win_hi[None, :] >= t_lo[:, None]) & (
+        win_lo[None, :] <= t_hi[:, None]
+    )  # [nf, nl]
+    nvisit = jnp.sum(visit, axis=1).astype(jnp.int32)  # [nf]
+    max_visits = nl  # static bound; dynamic counts gate the work
+    order = jnp.argsort(~visit, axis=1, stable=True).astype(jnp.int32)
+    # overflow slots repeat the last visited block: pallas skips the DMA
+    # when consecutive steps map to the same block, so they cost ~nothing
+    last = order[jnp.arange(nf), jnp.maximum(nvisit - 1, 0)]
+    jidx = jnp.arange(nl, dtype=jnp.int32)[None, :]
+    blkidx = jnp.where(jidx < nvisit[:, None], order, last[:, None])
+
+    col = lambda x: x.reshape(-1, 1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,  # win_lo, win_hi, f0_lo, f0_hi, igd_min, zi_min
-        grid=(nf, nl),
+        num_scalar_prefetch=6,  # blkidx, nvisit, f0_lo, f0_hi, igd_min, zi_min
+        grid=(nf, max_visits),
         in_specs=[
-            pl.BlockSpec((1, tf), lambda i, j, *_: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tl), lambda i, j, *_: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tl), lambda i, j, *_: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tl), lambda i, j, *_: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tl), lambda i, j, *_: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tl), lambda i, j, *_: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tl), lambda i, j, *_: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tl), lambda i, j, *_: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tl), lambda i, j, *_: (0, j), memory_space=pltpu.VMEM),
-        ],
+            pl.BlockSpec(
+                (1, tf), lambda i, j, b, nv, *_: (0, i), memory_space=pltpu.VMEM
+            ),
+        ]
+        + [
+            pl.BlockSpec(
+                (tl, 1),
+                lambda i, j, b, nv, *_: (b[i, j], 0),
+                memory_space=pltpu.VMEM,
+            )
+        ]
+        * 7,
         out_specs=pl.BlockSpec(
-            (1, tf), lambda i, j, *_: (0, i), memory_space=pltpu.VMEM
+            (8, tf), lambda i, j, b, nv, *_: (0, i), memory_space=pltpu.VMEM
         ),
     )
 
     out = pl.pallas_call(
         functools.partial(_voigt_kernel, n=n),
-        out_shape=jax.ShapeDtypeStruct((1, nf * tf), dtype),
+        out_shape=jax.ShapeDtypeStruct((8, nf * tf), dtype),
         grid_spec=grid_spec,
         interpret=interpret,
     )(
-        win_lo,
-        win_hi,
+        blkidx,
+        nvisit,
         f0_lo,
         f0_hi,
         igd_min,
         zi_min,
-        row(f_grid),
-        row(f0),
-        row(inv_gd),
-        row(z_imag),
-        row(s_re),
-        row(s_im),
-        row(cutoff),
-        row(wcut_re),
-        row(wcut_im),
+        f_grid[None, :],
+        col(f0),
+        col(inv_gd),
+        col(z_imag),
+        col(s_re),
+        col(s_im),
+        col(cutoff),
+        col(swc),
     )
-    return out[0, :F]
+    return jnp.sum(out, axis=0)[:F]

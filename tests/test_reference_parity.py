@@ -89,5 +89,6 @@ def test_cloudy_golden_brightness_temperatures():
     assert bt[0] < clear[0] and bt[1] < clear[1]
     # ARTS 2.6 goldens. The reference (arts3) fails to reproduce these and
     # flags its own cloudy DISORT as suspect (1-disort.sht.py:172-176); our
-    # independent solver agrees with ARTS 2.6 to 0.15 K.
-    np.testing.assert_allclose(bt, GOLD_CLOUDY, atol=0.3)
+    # independent solver agrees with ARTS 2.6 to 0.15 K (measured max
+    # deviation 0.149 K at 31.5 GHz); asserted with 0.05 K headroom.
+    np.testing.assert_allclose(bt, GOLD_CLOUDY, atol=0.2)

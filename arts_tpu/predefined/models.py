@@ -372,3 +372,10 @@ from .ckdmt350 import h2o_foreign_ckdmt350, h2o_self_ckdmt350  # noqa: E402
 
 PREDEF_MODELS["H2O-SelfContCKDMT350"] = h2o_self_ckdmt350
 PREDEF_MODELS["H2O-ForeignContCKDMT350"] = h2o_foreign_ckdmt350
+
+from .mpm import h2o_mpm89, n2_mpm93, o2_mpm89, o2_tre05  # noqa: E402
+
+PREDEF_MODELS["H2O-MPM89"] = h2o_mpm89
+PREDEF_MODELS["O2-MPM89"] = o2_mpm89
+PREDEF_MODELS["N2-SelfContMPM93"] = n2_mpm93
+PREDEF_MODELS["O2-TRE05"] = o2_tre05

@@ -346,13 +346,274 @@ void foreign_h2o(std::vector<double>& alpha, const std::vector<double>& f_hz,
 }  // namespace ckdmt350
 
 // ---------------------------------------------------------------------------
+// MPM89 (MPM89.cc:95-180 water, :270-411 oxygen)
+// ---------------------------------------------------------------------------
+namespace mpm89 {
+// MPMLineShapeFunction (MPM89.cc:34-65): VVW with the (f/f0) factor
+static double vvw_h2o(double gamma, double fl, double f) {
+  const double f_minus = 1.0 / ((f - fl) * (f - fl) + gamma * gamma);
+  const double f_plus = 1.0 / ((f + fl) * (f + fl) + gamma * gamma);
+  return std::fabs(f / fl) * gamma * (f_minus + f_plus);
+}
+// MPMLineShapeO2Function (MPM89.cc:203-236): VVW with first-order mixing
+static double vvw_o2(double gamma, double fl, double f, double delta) {
+  const double f_minus =
+      (gamma - delta * (fl - f)) / ((fl - f) * (fl - f) + gamma * gamma);
+  const double f_plus =
+      (gamma - delta * (fl + f)) / ((fl + f) * (fl + f) + gamma * gamma);
+  return f * (f_minus + f_plus);
+}
+
+// line table (MPM89.cc:110-140): f0, b1..b6
+static const double h2o_lines[30][7] = {
+    {22.235080, 0.1090, 2.143, 28.11, 0.69, 4.80, 1.00},
+    {67.813960, 0.0011, 8.735, 28.58, 0.69, 4.93, 0.82},
+    {119.995940, 0.0007, 8.356, 29.48, 0.70, 4.78, 0.79},
+    {183.310074, 2.3000, 0.668, 28.13, 0.64, 5.30, 0.85},
+    {321.225644, 0.0464, 6.181, 23.03, 0.67, 4.69, 0.54},
+    {325.152919, 1.5400, 1.540, 27.83, 0.68, 4.85, 0.74},
+    {336.187000, 0.0010, 9.829, 26.93, 0.69, 4.74, 0.61},
+    {380.197372, 11.9000, 1.048, 28.73, 0.69, 5.38, 0.84},
+    {390.134508, 0.0044, 7.350, 21.52, 0.63, 4.81, 0.55},
+    {437.346667, 0.0637, 5.050, 18.45, 0.60, 4.23, 0.48},
+    {439.150812, 0.9210, 3.596, 21.00, 0.63, 4.29, 0.52},
+    {443.018295, 0.1940, 5.050, 18.60, 0.60, 4.23, 0.50},
+    {448.001075, 10.6000, 1.405, 26.32, 0.66, 4.84, 0.67},
+    {470.888947, 0.3300, 3.599, 21.52, 0.66, 4.57, 0.65},
+    {474.689127, 1.2800, 2.381, 23.55, 0.65, 4.65, 0.64},
+    {488.491133, 0.2530, 2.853, 26.02, 0.69, 5.04, 0.72},
+    {503.568532, 0.0374, 6.733, 16.12, 0.61, 3.98, 0.43},
+    {504.482692, 0.0125, 6.733, 16.12, 0.61, 4.01, 0.45},
+    {556.936002, 510.0000, 0.159, 32.10, 0.69, 4.11, 1.00},
+    {620.700807, 5.0900, 2.200, 24.38, 0.71, 4.68, 0.68},
+    {658.006500, 0.2740, 7.820, 32.10, 0.69, 4.14, 1.00},
+    {752.033227, 250.0000, 0.396, 30.60, 0.68, 4.09, 0.84},
+    {841.073593, 0.0130, 8.180, 15.90, 0.33, 5.76, 0.45},
+    {859.865000, 0.1330, 7.989, 30.60, 0.68, 4.09, 0.84},
+    {899.407000, 0.0550, 7.917, 29.85, 0.68, 4.53, 0.90},
+    {902.555000, 0.0380, 8.432, 28.65, 0.70, 5.10, 0.95},
+    {906.205524, 0.1830, 5.111, 24.08, 0.70, 4.70, 0.53},
+    {916.171582, 8.5600, 1.442, 26.70, 0.70, 4.78, 0.78},
+    {970.315022, 9.1600, 1.920, 25.50, 0.64, 4.94, 0.67},
+    {987.926764, 138.0000, 0.258, 29.85, 0.68, 4.55, 0.90}};
+
+// water (MPM89.cc:95-180)
+void water(std::vector<double>& alpha, const std::vector<double>& f_hz,
+           double t, double p_pa, double vmr) {
+  const double dB_km_to_1_m = 1e-3 / (10.0 * log10_euler);
+  const double pwv_dummy = 1e-3 * p_pa;
+  const double theta = 300.0 / t;
+  const double pwv = pwv_dummy * vmr;
+  const double pda = pwv_dummy - pwv;
+  const double Nppc = pwv_dummy * theta * theta * theta * 1.000e-5 *
+                      ((0.113 * pda) + (3.57 * pwv * std::pow(theta, 7.5)));
+  for (size_t s = 0; s < f_hz.size(); ++s) {
+    const double ff = f_hz[s] * 1e-9;
+    double Nppl = 0.0;
+    for (const auto& l : h2o_lines) {
+      const double strength = pwv_dummy * l[1] * std::pow(theta, 3.5) *
+                              std::exp(l[2] * (1.000 - theta));
+      const double gam =
+          l[3] * 0.001 *
+          (l[5] * pwv * std::pow(theta, l[6]) + pda * std::pow(theta, l[4]));
+      Nppl += strength * vvw_h2o(gam, l[0], ff);
+    }
+    alpha[s] = vmr * dB_km_to_1_m * 0.1820 * ff * (Nppl + (Nppc * ff));
+  }
+}
+
+// line table (MPM89.cc:288-333): f0, a1..a6
+static const double o2_lines[44][7] = {
+    {50.474238, 0.94, 9.694, 8.60, 0.0, 1.600, 5.520},
+    {50.987749, 2.46, 8.694, 8.70, 0.0, 1.400, 5.520},
+    {51.503350, 6.08, 7.744, 8.90, 0.0, 1.165, 5.520},
+    {52.021410, 14.14, 6.844, 9.20, 0.0, 0.883, 5.520},
+    {52.542394, 31.02, 6.004, 9.40, 0.0, 0.579, 5.520},
+    {53.066907, 64.10, 5.224, 9.70, 0.0, 0.252, 5.520},
+    {53.595749, 124.70, 4.484, 10.00, 0.0, -0.066, 5.520},
+    {54.130000, 228.00, 3.814, 10.20, 0.0, -0.314, 5.520},
+    {54.671159, 391.80, 3.194, 10.50, 0.0, -0.706, 5.520},
+    {55.221367, 631.60, 2.624, 10.79, 0.0, -1.151, 5.514},
+    {55.783802, 953.50, 2.119, 11.10, 0.0, -0.920, 5.025},
+    {56.264775, 548.90, 0.015, 16.46, 0.0, 2.881, -0.069},
+    {56.363389, 1344.00, 1.660, 11.44, 0.0, -0.596, 4.750},
+    {56.968206, 1763.00, 1.260, 11.81, 0.0, -0.556, 4.104},
+    {57.612484, 2141.00, 0.915, 12.21, 0.0, -2.414, 3.536},
+    {58.323877, 2386.00, 0.626, 12.66, 0.0, -2.635, 2.686},
+    {58.446590, 1457.00, 0.084, 14.49, 0.0, 6.848, -0.647},
+    {59.164207, 2404.00, 0.391, 13.19, 0.0, -6.032, 1.858},
+    {59.590983, 2112.00, 0.212, 13.60, 0.0, 8.266, -1.413},
+    {60.306061, 2124.00, 0.212, 13.82, 0.0, -7.170, 0.916},
+    {60.434776, 2461.00, 0.391, 12.97, 0.0, 5.664, -2.323},
+    {61.150560, 2504.00, 0.626, 12.48, 0.0, 1.731, -3.039},
+    {61.800154, 2298.00, 0.915, 12.07, 0.0, 1.738, -3.797},
+    {62.411215, 1933.00, 1.260, 11.71, 0.0, -0.048, -4.277},
+    {62.486260, 1517.00, 0.083, 14.68, 0.0, -4.290, 0.238},
+    {62.997977, 1503.00, 1.665, 11.39, 0.0, 0.134, -4.860},
+    {63.568518, 1087.00, 2.115, 11.08, 0.0, 0.541, -5.079},
+    {64.127767, 733.50, 2.620, 10.78, 0.0, 0.814, -5.525},
+    {64.678903, 463.50, 3.195, 10.50, 0.0, 0.415, -5.520},
+    {65.224071, 274.80, 3.815, 10.20, 0.0, 0.069, -5.520},
+    {65.764772, 153.00, 4.485, 10.00, 0.0, -0.143, -5.520},
+    {66.302091, 80.09, 5.225, 9.70, 0.0, -0.428, -5.520},
+    {66.836830, 39.46, 6.005, 9.40, 0.0, -0.726, -5.520},
+    {67.369598, 18.32, 6.845, 9.20, 0.0, -1.002, -5.520},
+    {67.900867, 8.01, 7.745, 8.90, 0.0, -1.255, -5.520},
+    {68.431005, 3.30, 8.695, 8.70, 0.0, -1.500, -5.520},
+    {68.960311, 1.28, 9.695, 8.60, 0.0, -1.700, -5.520},
+    {118.750343, 945.00, 0.009, 16.30, 0.0, -0.247, 0.003},
+    {368.498350, 67.90, 0.049, 19.20, 0.6, 0.000, 0.000},
+    {424.763124, 638.00, 0.044, 19.16, 0.6, 0.000, 0.000},
+    {487.249370, 235.00, 0.049, 19.20, 0.6, 0.000, 0.000},
+    {715.393150, 99.60, 0.145, 18.10, 0.6, 0.000, 0.000},
+    {773.839675, 671.00, 0.130, 18.10, 0.6, 0.000, 0.000},
+    {834.145330, 180.00, 0.147, 18.10, 0.6, 0.000, 0.000}};
+
+// oxygen (MPM89.cc:270-411)
+void oxygen(std::vector<double>& alpha, const std::vector<double>& f_hz,
+            double t, double p_pa, double vmr, double h2o) {
+  const double dB_km_to_1_m = 1e-3 / (10.0 * log10_euler);
+  const double S0 = 6.140e-4, G0 = 5.60e-3, X0 = 0.800;  // MPM92 continuum
+  const double VMRISO = 0.2085;
+  const double theta = 300.0 / t;
+  const double pwv = 1e-3 * p_pa * h2o;
+  const double pda = (1e-3 * p_pa) - pwv;
+  const double pda_dummy = pda;
+  const double strength_cont = S0 * pda_dummy * theta * theta;
+  const double gam_cont = G0 * (pwv + pda) * std::pow(theta, X0);
+  for (size_t s = 0; s < f_hz.size(); ++s) {
+    const double ff = f_hz[s] * 1e-9;
+    const double Nppc =
+        strength_cont * ff * gam_cont / (ff * ff + gam_cont * gam_cont);
+    double Nppl = 0.0;
+    for (const auto& l : o2_lines) {
+      const double strength = l[1] * 1.000e-6 * pda_dummy * theta * theta *
+                              theta * std::exp(l[2] * (1.000 - theta)) / l[0];
+      const double gam = l[3] * 1.000e-3 *
+                         ((pda * std::pow(theta, 0.80 - l[4])) +
+                          (1.10 * pwv * theta));
+      const double delta =
+          (l[5] + l[6] * theta) * 1.000e-3 * pda * std::pow(theta, 0.8);
+      Nppl += strength * vvw_o2(gam, l[0], ff, delta);
+    }
+    alpha[s] = vmr * dB_km_to_1_m * 0.1820 * ff *
+               (((Nppl < 0.000) ? 0.0 : Nppl) + Nppc) / VMRISO;
+  }
+}
+}  // namespace mpm89
+
+// ---------------------------------------------------------------------------
+// MPM93 N2 continuum (MPM93.cc:33-73)
+// ---------------------------------------------------------------------------
+namespace mpm93 {
+void nitrogen(std::vector<double>& alpha, const std::vector<double>& f_hz,
+              double t, double p_pa, double n2, double h2o) {
+  const double xT = 3.500, xf = 1.500;
+  const double gxf = 9.000 * xf;
+  const double S = 2.296e-31;
+  const double G = 1.930e-5 * std::pow(10.000, -gxf);
+  const double fac = 4.0 * M_PI / c_light;
+  const double th = 300.0 / t;
+  const double strength =
+      S * std::pow(p_pa * (1.0000 - h2o), 2.0) * std::pow(th, xT);
+  for (size_t s = 0; s < f_hz.size(); ++s)
+    alpha[s] = n2 * fac * strength * std::pow(f_hz[s], 2.0) /
+               (1.000 + G * std::pow(f_hz[s], xf)) * n2;
+}
+}  // namespace mpm93
+
+// ---------------------------------------------------------------------------
+// TRE05 O2 (TRE05.cc:115-296)
+// ---------------------------------------------------------------------------
+namespace tre05 {
+static const double o2_lines[44][7] = {
+    {50.474214, 0.975 / 10, 9.651, 0.669, 0.0, 0.2566, 0.685},
+    {50.987745, 2.529 / 10, 8.653, 0.717, 0.0, 0.2246, 0.680},
+    {51.503360, 6.193 / 10, 7.709, 0.764, 0.0, 0.1947, 0.6729},
+    {52.021429, 14.32 / 10, 6.819, 0.811, 0.0, 0.1667, 0.6640},
+    {52.542418, 31.24 / 10, 5.983, 0.858, 0.0, 0.1388, 0.6526},
+    {53.066934, 64.29 / 10, 5.201, 0.906, 0.0, 0.1349, 0.6206},
+    {53.595775, 124.6 / 10, 4.474, 0.955, 0.0, 0.2227, 0.5085},
+    {54.130025, 227.3 / 10, 3.800, 0.996, 0.0, 0.3170, 0.3750},
+    {54.671180, 389.7 / 10, 3.182, 1.037, 0.0, 0.3558, 0.2654},
+    {55.221384, 627.1 / 10, 2.618, 1.089, 0.0, 0.2560, 0.2952},
+    {55.783815, 945.3 / 10, 2.109, 1.134, 0.0, -0.1172, 0.6135},
+    {56.264774, 543.4 / 10, 0.014, 1.703, 0.0, 0.3525, -0.0978},
+    {56.363399, 1331.8 / 10, 1.654, 1.189, 0.0, -0.2378, 0.6547},
+    {56.968211, 1746.6 / 10, 1.255, 1.223, 0.0, -0.3545, 0.6451},
+    {57.612486, 2120.1 / 10, 0.910, 1.262, 0.0, -0.5416, 0.6056},
+    {58.323877, 2363.7 / 10, 0.621, 1.295, 0.0, -0.1932, 0.0436},
+    {58.446588, 1442.1 / 10, 0.083, 1.491, 0.0, 0.6768, -0.1273},
+    {59.164204, 2379.9 / 10, 0.387, 1.353, 0.0, -0.6561, 0.2309},
+    {59.590983, 2090.7 / 10, 0.207, 1.408, 0.0, 0.6957, -0.0776},
+    {60.306056, 2103.4 / 10, 0.207, 1.415, 0.0, -0.6395, 0.0699},
+    {60.434778, 2438.0 / 10, 0.386, 1.339, 0.0, 0.6342, -0.2825},
+    {61.150562, 2479.5 / 10, 0.621, 1.292, 0.0, 0.1014, -0.0584},
+    {61.800158, 2275.9 / 10, 0.910, 1.263, 0.0, 0.5014, -0.6619},
+    {62.411220, 1915.4 / 10, 1.255, 1.217, 0.0, 0.3029, -0.6759},
+    {62.486253, 1503.0 / 10, 0.083, 1.513, 0.0, -0.4499, 0.0844},
+    {62.997984, 1490.2 / 10, 1.654, 1.174, 0.0, 0.1856, -0.6675},
+    {63.568526, 1078.0 / 10, 2.108, 1.134, 0.0, 0.0658, -0.6139},
+    {64.127775, 728.7 / 10, 2.617, 1.088, 0.0, -0.3036, -0.2895},
+    {64.678910, 461.3 / 10, 3.181, 1.038, 0.0, -0.3968, -0.2590},
+    {65.224078, 274.0 / 10, 3.800, 0.996, 0.0, -0.3528, -0.3680},
+    {65.764779, 153.0 / 10, 4.473, 0.955, 0.0, -0.2548, -0.5002},
+    {66.302096, 80.40 / 10, 5.200, 0.906, 0.0, -0.1660, -0.6091},
+    {66.836834, 39.80 / 10, 5.982, 0.858, 0.0, -0.1680, -0.6393},
+    {67.369601, 18.56 / 10, 6.818, 0.811, 0.0, -0.1956, -0.6475},
+    {67.900868, 8.172 / 10, 7.708, 0.764, 0.0, -0.2216, -0.6545},
+    {68.431006, 3.397 / 10, 8.652, 0.717, 0.0, -0.2492, -0.660},
+    {68.960312, 1.334 / 10, 9.650, 0.669, 0.0, -0.2773, -0.665},
+    {118.750334, 940.3 / 10, 0.010, 1.664, 0.0, -0.0439, 0.0079},
+    {368.498246, 67.4 / 10, 0.048, 1.64, 0.0, 0.0, 0.0},
+    {424.763020, 637.7 / 10, 0.044, 1.64, 0.0, 0.0, 0.0},
+    {487.249273, 237.4 / 10, 0.049, 1.60, 0.0, 0.0, 0.0},
+    {715.392902, 98.1 / 10, 0.145, 1.60, 0.0, 0.0, 0.0},
+    {773.839490, 572.3 / 10, 0.141, 1.62, 0.0, 0.0, 0.0},
+    {834.145546, 183.1 / 10, 0.145, 1.47, 0.0, 0.0, 0.0}};
+
+void oxygen(std::vector<double>& alpha, const std::vector<double>& f_hz,
+            double t, double p_pa, double vmr, double h2o) {
+  const double VMRISO = 0.2085;
+  const double S0 = 6.140e-5, G0 = 0.560e-3, X0 = 0.800;
+  const double dB_km_to_1_m = 1.00000e-3 / (10.0 * log10_euler);
+  const double theta = 300.0 / t;
+  const double pwv = 1e-2 * p_pa * h2o;
+  const double pda = (1e-2 * p_pa) - pwv;
+  const double pda_dummy = pda;
+  const double strength_cont = S0 * pda_dummy * std::pow(theta, 2.);
+  const double gam_cont = G0 * (pwv + pda) * std::pow(theta, X0);
+  for (size_t s = 0; s < f_hz.size(); ++s) {
+    const double ff = f_hz[s] * 1e-9;
+    const double Nppc = strength_cont * ff * gam_cont /
+                        (std::pow(ff, 2.) + std::pow(gam_cont, 2.));
+    double Nppl = 0.0;
+    for (const auto& l : o2_lines) {
+      const double strength = 1.000e-6 * pda_dummy * l[1] / l[0] *
+                              std::pow(theta, 3.) * std::exp(l[2] * (1.0 - theta));
+      const double gam =
+          l[3] * 0.001 *
+          ((pda * std::pow(theta, 0.8 - l[4])) + (1.10 * pwv * theta));
+      const double delta =
+          (l[5] + l[6] * theta) * (pda + pwv) * std::pow(theta, 0.8) * 0.001;
+      Nppl += strength * mpm89::vvw_o2(gam, l[0], ff, delta);
+    }
+    if (Nppl < 0.000) Nppl = 0.0000;
+    alpha[s] = vmr * dB_km_to_1_m * 0.1820 * ff * (Nppl + Nppc) / VMRISO;
+  }
+}
+}  // namespace tre05
+
+// ---------------------------------------------------------------------------
 static void emit(const char* name, const std::vector<double>& f,
                  double t, double p, double vmr,
-                 const std::vector<double>& alpha, bool& first) {
+                 const std::vector<double>& alpha, bool& first,
+                 double vmr_h2o = -1.0) {
   if (!first) printf(",\n");
   first = false;
   printf("  {\"model\": \"%s\", \"t\": %.17g, \"p\": %.17g, \"vmr\": %.17g,\n",
          name, t, p, vmr);
+  if (vmr_h2o >= 0.0) printf("   \"vmr_h2o\": %.17g,\n", vmr_h2o);
   printf("   \"f_hz\": [");
   for (size_t i = 0; i < f.size(); i++)
     printf("%s%.17g", i ? ", " : "", f[i]);
@@ -404,6 +665,50 @@ int main() {
       ckdmt350::foreign_h2o(a2v, f, t, p, x);
       emit("H2O-SelfContCKDMT350", f, t, p, x, a1v, first);
       emit("H2O-ForeignContCKDMT350", f, t, p, x, a2v, first);
+    }
+  }
+
+  // MPM89 H2O: lines + continuum region, wet/dry/cold states
+  {
+    std::vector<double> f;
+    for (int i = 0; i < 40; i++) f.push_back(5e9 + i * 25e9);
+    for (auto [t, p, x] : {std::array<double, 3>{296.0, 101325.0, 0.02},
+                           std::array<double, 3>{250.0, 3.0e4, 1e-4},
+                           std::array<double, 3>{310.0, 9.5e4, 0.04}}) {
+      std::vector<double> a(f.size(), 0.0);
+      mpm89::water(a, f, t, p, x);
+      emit("H2O-MPM89", f, t, p, x, a, first);
+    }
+  }
+
+  // MPM89 + TRE05 O2: 60 GHz band + wings + sub-mm lines, with/without H2O
+  {
+    std::vector<double> f;
+    for (int i = 0; i < 50; i++) f.push_back(45e9 + i * 0.55e9);
+    f.push_back(118.75e9);
+    f.push_back(424.7e9);
+    for (auto [t, p, x, w] :
+         {std::array<double, 4>{296.0, 101325.0, 0.2095, 0.01},
+          std::array<double, 4>{230.0, 1.0e4, 0.2095, 0.0},
+          std::array<double, 4>{310.0, 8.0e4, 0.18, 0.03}}) {
+      std::vector<double> a1v(f.size(), 0.0), a2v(f.size(), 0.0);
+      mpm89::oxygen(a1v, f, t, p, x, w);
+      tre05::oxygen(a2v, f, t, p, x, w);
+      emit("O2-MPM89", f, t, p, x, a1v, first, w);
+      emit("O2-TRE05", f, t, p, x, a2v, first, w);
+    }
+  }
+
+  // MPM93 N2 continuum: broadband, wet/dry
+  {
+    std::vector<double> f;
+    for (int i = 0; i < 30; i++) f.push_back(1e9 + i * 33e9);
+    for (auto [t, p, x, w] :
+         {std::array<double, 4>{296.0, 101325.0, 0.781, 0.02},
+          std::array<double, 4>{220.0, 2.0e4, 0.781, 0.0}}) {
+      std::vector<double> a(f.size(), 0.0);
+      mpm93::nitrogen(a, f, t, p, x, w);
+      emit("N2-SelfContMPM93", f, t, p, x, a, first, w);
     }
   }
 

@@ -379,3 +379,17 @@ PREDEF_MODELS["H2O-MPM89"] = h2o_mpm89
 PREDEF_MODELS["O2-MPM89"] = o2_mpm89
 PREDEF_MODELS["N2-SelfContMPM93"] = n2_mpm93
 PREDEF_MODELS["O2-TRE05"] = o2_tre05
+
+from .pwr20xx import (  # noqa: E402
+    h2o_pwr2021,
+    h2o_pwr2022,
+    n2_pwr2021,
+    o2_pwr2021,
+    o2_pwr2022,
+)
+
+PREDEF_MODELS["H2O-PWR2021"] = h2o_pwr2021
+PREDEF_MODELS["H2O-PWR2022"] = h2o_pwr2022
+PREDEF_MODELS["O2-PWR2021"] = o2_pwr2021
+PREDEF_MODELS["O2-PWR2022"] = o2_pwr2022
+PREDEF_MODELS["N2-SelfContPWR2021"] = n2_pwr2021

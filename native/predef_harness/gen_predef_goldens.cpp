@@ -7,8 +7,10 @@
 // with file:line citations; the AER tables in ckdmt350_data.inc are the
 // reference's own compiled-in data (CKDMT350.cc:48-914).
 //
-// Build + regenerate:
-//   g++ -O2 -std=c++17 gen_predef_goldens.cpp -o /tmp/gen_predef_goldens
+// Build + regenerate (Faddeeva.cc provides erfcx for the PWR20xx
+// speed-dependent Voigt lines, same linkage as the LBL harness):
+//   g++ -O2 -std=c++17 -I /root/reference/3rdparty gen_predef_goldens.cpp \
+//       /root/reference/3rdparty/Faddeeva/Faddeeva.cc -o /tmp/gen_predef_goldens
 //   /tmp/gen_predef_goldens > ../../tests/goldens/predef_goldens.json
 //
 // Consumed by tests/test_predef_goldens.py.
@@ -16,8 +18,11 @@
 #include <algorithm>
 #include <array>
 #include <cmath>
+#include <complex>
 #include <cstdio>
 #include <vector>
+
+#include <Faddeeva/Faddeeva.hh>
 
 #include "ckdmt350_data.inc"
 
@@ -605,6 +610,272 @@ void oxygen(std::vector<double>& alpha, const std::vector<double>& f_hz,
 }  // namespace tre05
 
 // ---------------------------------------------------------------------------
+// PWR20xx (PWR20xx.cc:21-166 water, :494-573 oxygen, :792-833 nitrogen)
+// ---------------------------------------------------------------------------
+namespace pwr20xx {
+using Complex = std::complex<double>;
+constexpr double kB = 1.380649e-23;
+
+struct H2OLine {
+  double f0, s296, B, w0a, xwa, w0s, xws, da, xda, ds, xds, aa, as_,
+      w2a, x2a, w2s, x2s, d2a, d2s;
+};
+// h2o_sdlist.asc tables (PWR20xx.cc:177-340 / :391-450)
+static const H2OLine h2o_2021[16] = {
+    {22.23508, 1.335e-14, 2.172, 2.74, 0.76, 13.63, 1.2, -0.033, 2.6, 0.814, 0., 0., 0., 0.435, 0., 1.91, 0., 0., 0.},
+    {183.310087, 2.319e-12, 0.677, 3.033, 0.62, 15.01, 0.82, -0.074, 1.8, 0.136, 0.98, 0., 12.6, 0.407, 0.412, 1.46, 0.571, -0.016, 0.16},
+    {321.22563, 7.657e-14, 6.262, 2.426, 0.73, 10.65, 0.54, -0.143, 0., 0.278, 0., 0., 0., 0., 0., 0., 0., 0., 0.},
+    {325.152888, 2.721e-12, 1.561, 2.847, 0.64, 13.95, 0.74, -0.013, 0., 1.325, 0., 0., 0., 0., 0., 0., 0., 0., 0.},
+    {380.197353, 2.477e-11, 1.062, 2.868, 0.54, 14.4, 0.89, -0.074, 0., 0.24, 0., 0., 0., 0., 0., 0., 0., 0., 0.},
+    {439.150807, 2.137e-12, 3.643, 2.055, 0.69, 9.06, 0.52, 0.051, 0., 0.165, 0., 0., 0., 0., 0., 0., 0., 0., 0.},
+    {443.018343, 4.440e-13, 5.116, 1.819, 0.7, 7.96, 0.5, 0.140, 0., -0.229, 0., 0., 0., 0., 0., 0., 0., 0., 0.},
+    {448.001085, 2.588e-11, 1.424, 2.612, 0.7, 13.01, 0.67, -0.116, 0., -0.615, 0., 0., 0., 0., 0., 0., 0., 0., 0.},
+    {470.888999, 8.196e-13, 3.645, 2.169, 0.73, 9.7, 0.65, 0.061, 0., -0.465, 0., 0., 0., 0., 0., 0., 0., 0., 0.},
+    {474.689092, 3.268e-12, 2.411, 2.366, 0.71, 11.24, 0.64, -0.027, 0., -0.72, 0., 0., 0., 0., 0., 0., 0., 0., 0.},
+    {488.490108, 6.628e-13, 2.89, 2.616, 0.75, 13.58, 0.72, -0.065, 0., -0.36, 0., 0., 0., 0., 0., 0., 0., 0., 0.},
+    {556.935985, 1.570e-09, 0.161, 3.115, 0.75, 14.24, 1., 0.187, 0., -1.693, 0., 0., 0., 0., 0., 0., 0., 0., 0.},
+    {620.700807, 1.700e-11, 2.423, 2.468, 0.79, 11.94, 0.75, 0.0, 0., 0.687, 0.92, 0., 0., 0., 0., 0., 0., 0., 0.},
+    {658.006072, 9.033e-13, 7.921, 3.154, 0.73, 13.84, 1., 0.176, 0., -1.496, 0., 0., 0., 0., 0., 0., 0., 0., 0.},
+    {752.033113, 1.035e-09, 0.402, 3.114, 0.77, 13.58, 0.84, 0.162, 0., -0.878, 0., 0., 0., 0., 0., 0., 0., 0., 0.},
+    {916.171582, 4.275e-11, 1.461, 2.695, 0.79, 13.55, 0.48, 0.0, 0., 0.521, 0.47, 0., 0., 0., 0., 0., 0., 0., 0.}};
+static const H2OLine h2o_2022[20] = {
+    {22.23508, 1.334e-14, 2.172, 2.74, 0.76, 13.63, 1.2, -0.033, 2.6, 0.814, 0., 0., 0., 0.435, 0., 1.91, 0., 0., 0.},
+    {183.310087, 2.319e-12, 0.677, 3.033, 0.62, 15.01, 0.82, -0.074, 1.8, 0.136, 0.98, 0., 12.6, 0.407, 0.412, 1.46, 0.571, -0.016, 0.16},
+    {321.22563, 7.654e-14, 6.262, 2.426, 0.73, 10.65, 0.54, -0.143, 0., 0.278, 0., 0., 0., 0., 0., 0., 0., 0., 0.},
+    {325.152888, 2.720e-12, 1.561, 2.847, 0.64, 13.95, 0.74, -0.013, 0., 1.325, 0., 0., 0., 0., 0., 0., 0., 0., 0.},
+    {380.197353, 2.476e-11, 1.062, 2.868, 0.54, 14.4, 0.89, -0.074, 0., 0.24, 0., 0., 0., 0., 0., 0., 0., 0., 0.},
+    {439.150807, 2.136e-12, 3.643, 2.055, 0.69, 9.06, 0.52, 0.051, 0., 0.165, 0., 0., 0., 0., 0., 0., 0., 0., 0.},
+    {443.018343, 4.440e-13, 5.116, 1.819, 0.7, 7.96, 0.5, 0.140, 0., -0.229, 0., 0., 0., 0., 0., 0., 0., 0., 0.},
+    {448.001085, 2.587e-11, 1.424, 2.612, 0.7, 13.01, 0.67, -0.116, 0., -0.615, 0., 0., 0., 0., 0., 0., 0., 0., 0.},
+    {470.888999, 8.193e-13, 3.645, 2.169, 0.73, 9.7, 0.65, 0.061, 0., -0.465, 0., 0., 0., 0., 0., 0., 0., 0., 0.},
+    {474.689092, 3.268e-12, 2.411, 2.366, 0.71, 11.24, 0.64, -0.027, 0., -0.72, 0., 0., 0., 0., 0., 0., 0., 0., 0.},
+    {488.490108, 6.628e-13, 2.89, 2.616, 0.75, 13.58, 0.72, -0.065, 0., -0.36, 0., 0., 0., 0., 0., 0., 0., 0., 0.},
+    {556.935985, 1.570e-09, 0.161, 3.115, 0.75, 14.24, 1., 0.187, 0., -1.693, 0., 0., 0., 0., 0., 0., 0., 0., 0.},
+    {620.700807, 1.700e-11, 2.423, 2.468, 0.79, 11.94, 0.75, 0.001, 0., 0.687, 0.92, 0., 0., 0., 0., 0., 0., 0., 0.},
+    {658.006072, 9.027e-13, 7.921, 3.154, 0.73, 13.84, 1., 0.176, 0., -1.496, 0., 0., 0., 0., 0., 0., 0., 0., 0.},
+    {752.033113, 1.035e-09, 0.402, 3.114, 0.77, 13.58, 0.84, 0.162, 0., -0.878, 0., 0., 0., 0., 0., 0., 0., 0., 0.},
+    {859.965608, 5.705e-13, 8.163, 3.121, 0.76, 14.08, 0.76, 0.005, 0., 0., 0., 0., 0., 0., 0., 0., 0., 0., 0.},
+    {916.171582, 4.272e-11, 1.461, 2.695, 0.79, 13.55, 0.48, -0.001, 0., 0.521, 0.47, 0., 0., 0., 0., 0., 0., 0., 0.},
+    {970.315045, 4.806e-11, 1.944, 2.574, 0.70, 25.95, 0.7, -0.003, 0., 0., 0., 0., 0., 0., 0., 0., 0., 0., 0.},
+    {987.926803, 7.528e-10, 0.261, 2.976, 0.75, 14.35, 0.75, -0.002, 0., 0., 0., 0., 0., 0., 0., 0., 0., 0., 0.},
+    {1097.36487, 4.890e-9, 0.754, 3.095, 0.75, 15.27, 0.75, 0.002, 0., 0., 0., 0., 0., 0., 0., 0., 0., 0., 0.}};
+
+// compute_h2o (PWR20xx.cc:21-166)
+template <int N>
+void water(std::vector<double>& alpha, const std::vector<double>& f_hz,
+           double t, double p_pa, double vmr, const H2OLine (&tab)[N],
+           double tref_cont, double c_f, double xc_f, double c_s,
+           double xc_s) {
+  if (vmr <= 0) return;
+  const double p_hpa = 1e-2 * p_pa;
+  const double pvap_hpa = vmr * p_hpa;
+  const double pdry_hpa = p_hpa - pvap_hpa;
+  const double pvap_bar = 1e-3 * pvap_hpa;
+  const double pdry_bar = 1e-3 * pdry_hpa;
+  const double theta_cont = tref_cont / t;
+  const double th = 296.0 / t;
+  const double logth = std::log(th);
+  constexpr double line_cutoff = 750.0;
+  double w0[N], w2[N], d2[N], shift[N], strength[N], base[N];
+  for (int i = 0; i < N; i++) {
+    const H2OLine& l = tab[i];
+    // replacement of unknown temperature exponents (:63-76)
+    const double xda = l.xda > 0 ? l.xda : l.xwa;
+    const double xds = l.xds > 0 ? l.xds : l.xws;
+    const double x2a = l.x2a > 0 ? l.x2a : l.xwa;
+    const double x2s = l.x2s > 0 ? l.x2s : l.xws;
+    w0[i] = l.w0a * pdry_bar * std::pow(th, l.xwa) +
+            l.w0s * pvap_bar * std::pow(th, l.xws);
+    w2[i] = l.w2a * pdry_bar * std::pow(th, x2a) +
+            l.w2s * pvap_bar * std::pow(th, x2s);
+    d2[i] = l.d2a * pdry_bar + l.d2s * pvap_bar;
+    shift[i] = l.da * pdry_bar * (1.0 - l.aa * logth) * std::pow(th, xda) +
+               l.ds * pvap_bar * (1.0 - l.as_ * logth) * std::pow(th, xds);
+    strength[i] = l.s296 * std::pow(th, 2.5) * std::exp(l.B * (1.0 - th));
+    base[i] = w0[i] / (line_cutoff * line_cutoff + w0[i] * w0[i]);
+  }
+  for (size_t iv = 0; iv < f_hz.size(); ++iv) {
+    const double f = f_hz[iv] * 1e-9;
+    const double cont =
+        (c_f * pdry_hpa * std::pow(theta_cont, xc_f) +
+         c_s * pvap_hpa * std::pow(theta_cont, xc_s)) *
+        pvap_hpa * f * f * 1e-3;
+    double line_sum = 0.0;
+    for (int i = 0; i < N; i++) {
+      const double df1 = f - tab[i].f0 - shift[i];
+      const double df2 = f + tab[i].f0 + shift[i];
+      double resonant = 0.0;
+      if ((w2[i] > 0) && (std::abs(df1) < (10.0 * w0[i]))) {
+        const Complex denom(w2[i], -d2[i]);
+        const Complex xc =
+            Complex(w0[i] - 1.5 * w2[i], df1 + 1.5 * d2[i]) / denom;
+        const Complex xrt = std::sqrt(xc);
+        constexpr double magic_number = 1.77245385090551603;
+        const Complex pxw = magic_number * xrt * Faddeeva::erfcx(xrt);
+        const Complex sd = 2.0 * (1.0 - pxw) / denom;
+        resonant += sd.real() - base[i];
+      } else if (std::abs(df1) < line_cutoff) {
+        resonant += w0[i] / (df1 * df1 + w0[i] * w0[i]) - base[i];
+      }
+      if (std::abs(df2) < line_cutoff) {
+        resonant += w0[i] / (df2 * df2 + w0[i] * w0[i]) - base[i];
+      }
+      line_sum += strength[i] * resonant * (f / tab[i].f0) * (f / tab[i].f0);
+    }
+    line_sum = 1e-13 * M_1_PI * line_sum * p_pa * vmr / (kB * t);
+    alpha[iv] = line_sum + cont;
+  }
+}
+
+// o2abs_19.f tables (PWR20xx.cc:586-664 / :694-772)
+constexpr int NO2 = 49;
+static const double o2_f0[NO2] = {
+    118.7503, 56.2648, 62.4863, 58.4466, 60.3061, 59.5910, 59.1642,
+    60.4348, 58.3239, 61.1506, 57.6125, 61.8002, 56.9682, 62.4112,
+    56.3634, 62.9980, 55.7838, 63.5685, 55.2214, 64.1278, 54.6712,
+    64.6789, 54.1300, 65.2241, 53.5958, 65.7648, 53.0669, 66.3021,
+    52.5424, 66.8368, 52.0214, 67.3696, 51.5034, 67.9009, 50.9877,
+    68.4310, 50.4742, 68.9603, 233.9461, 368.4982, 401.7398, 424.7630,
+    487.2493, 566.8956, 715.3929, 731.1866, 773.8395, 834.1455, 895.0710};
+static const double o2_s300_2021[NO2] = {
+    0.2906e-14, 0.7957e-15, 0.2444e-14, 0.2194e-14, 0.3301e-14, 0.3243e-14,
+    0.3664e-14, 0.3834e-14, 0.3588e-14, 0.3947e-14, 0.3179e-14, 0.3661e-14,
+    0.2590e-14, 0.3111e-14, 0.1954e-14, 0.2443e-14, 0.1373e-14, 0.1784e-14,
+    0.9013e-15, 0.1217e-14, 0.5545e-15, 0.7766e-15, 0.3201e-15, 0.4651e-15,
+    0.1738e-15, 0.2619e-15, 0.8880e-16, 0.1387e-15, 0.4272e-16, 0.6923e-16,
+    0.1939e-16, 0.3255e-16, 0.8301e-17, 0.1445e-16, 0.3356e-17, 0.6049e-17,
+    0.1280e-17, 0.2394e-17, 0.3287e-16, 0.6463e-15, 0.1334e-16, 0.7049e-14,
+    0.3011e-14, 0.1797e-16, 0.1826e-14, 0.2193e-16, 0.1153e-13, 0.3974e-14,
+    0.2512e-16};
+static const double o2_s300_2022[NO2] = {
+    0.2906e-14, 0.7957e-15, 0.2444e-14, 0.2194e-14, 0.3301e-14, 0.3243e-14,
+    0.3664e-14, 0.3834e-14, 0.3588e-14, 0.3947e-14, 0.3179e-14, 0.3661e-14,
+    0.2590e-14, 0.3111e-14, 0.1954e-14, 0.2443e-14, 0.1373e-14, 0.1784e-14,
+    0.9013e-15, 0.1217e-14, 0.5545e-15, 0.7766e-15, 0.3201e-15, 0.4651e-15,
+    0.1738e-15, 0.2619e-15, 0.8880e-16, 0.1387e-15, 0.4272e-16, 0.6923e-16,
+    0.1939e-16, 0.3255e-16, 0.8301e-17, 0.1445e-16, 0.3356e-17, 0.6049e-17,
+    0.1280e-17, 0.2394e-17, 0.8299e-17, 0.6492e-15, 0.1354e-16, 0.7082e-14,
+    0.3026e-14, 0.1823e-16, 0.1835e-14, 0.2226e-16, 0.1158e-13, 0.3992e-14,
+    0.2550e-16};
+static const double o2_be_2021[NO2] = {
+    0.010, 0.014, 0.083, 0.083, 0.207, 0.207, 0.387, 0.387, 0.621, 0.621,
+    0.910, 0.910, 1.255, 1.255, 1.654, 1.654, 2.109, 2.109, 2.618, 2.618,
+    3.182, 3.182, 3.800, 3.800, 4.474, 4.474, 5.201, 5.201, 5.983, 5.983,
+    6.819, 6.819, 7.709, 7.709, 8.653, 8.653, 9.651, 9.651, 0.019, 0.048,
+    0.045, 0.044, 0.049, 0.084, 0.145, 0.136, 0.141, 0.145, 0.201};
+static const double o2_be_2022[NO2] = {
+    0.010, 0.014, 0.083, 0.083, 0.207, 0.207, 0.387, 0.387, 0.621, 0.621,
+    0.910, 0.910, 1.255, 1.255, 1.654, 1.654, 2.109, 2.109, 2.618, 2.618,
+    3.182, 3.182, 3.800, 3.800, 4.474, 4.474, 5.201, 5.201, 5.983, 5.983,
+    6.819, 6.819, 7.709, 7.709, 8.653, 8.653, 9.651, 9.651, 0.019, 0.048,
+    0.045, 0.044, 0.049, 0.084, 0.145, 0.136, 0.140, 0.145, 0.201};
+static const double o2_w300[NO2] = {
+    1.685, 1.703, 1.513, 1.495, 1.433, 1.408, 1.353, 1.353, 1.303, 1.319,
+    1.262, 1.265, 1.238, 1.217, 1.207, 1.207, 1.137, 1.137, 1.101, 1.101,
+    1.037, 1.038, 0.996, 0.996, 0.955, 0.955, 0.906, 0.906, 0.858, 0.858,
+    0.811, 0.811, 0.764, 0.764, 0.717, 0.717, 0.669, 0.669, 1.65, 1.64,
+    1.64, 1.64, 1.60, 1.60, 1.60, 1.60, 1.62, 1.47, 1.47};
+static const double o2_y0[NO2] = {
+    -0.041, 0.277, -0.373, 0.560, -0.573, 0.618, -0.366, 0.278, -0.089,
+    -0.021, 0.0599, -0.152, 0.216, -0.293, 0.374, -0.436, 0.491, -0.542,
+    0.571, -0.613, 0.636, -0.670, 0.690, -0.718, 0.740, -0.763, 0.788,
+    -0.807, 0.834, -0.849, 0.876, -0.887, 0.915, -0.922, 0.950, -0.955,
+    0.987, -0.988, 0., 0., 0., 0., 0., 0., 0., 0., 0., 0., 0.};
+static const double o2_y1[NO2] = {
+    0.000, 0.11, -0.009, 0.007, 0.049, -0.1, 0.260, -0.346, 0.364,
+    -0.422, 0.315, -0.341, 0.483, -0.503, 0.598, -0.610, 0.630, -0.633,
+    0.613, -0.611, 0.570, -0.564, 0.58, -0.57, 0.61, -0.60, 0.64,
+    -0.62, 0.65, -0.64, 0.66, -0.64, 0.66, -0.64, 0.66, -0.64,
+    0.65, -0.63, 0., 0., 0., 0., 0., 0., 0., 0., 0., 0., 0.};
+static const double o2_g0[NO2] = {
+    -0.000695, -0.090, -0.103, -0.239, -0.172, -0.171, 0.028, 0.150, 0.132,
+    0.170, 0.087, 0.069, 0.083, 0.068, 0.007, 0.016, -0.021, -0.066,
+    -0.095, -0.116, -0.118, -0.140, -0.173, -0.186, -0.217, -0.227, -0.234,
+    -0.242, -0.266, -0.272, -0.301, -0.304, -0.334, -0.333, -0.362, -0.358,
+    -0.348, -0.344, 0., 0., 0., 0., 0., 0., 0., 0., 0., 0., 0.};
+static const double o2_g1[NO2] = {
+    0.000, -0.042, 0.004, 0.025, 0.083, 0.167, 0.178, 0.223, 0.054,
+    0.003, 0.002, -0.044, -0.019, -0.054, -0.177, -0.208, -0.294, -0.334,
+    -0.368, -0.386, -0.374, -0.384, -0.387, -0.389, -0.423, -0.422, -0.46,
+    -0.46, -0.51, -0.50, -0.55, -0.53, -0.58, -0.56, -0.62, -0.59,
+    -0.68, -0.65, 0., 0., 0., 0., 0., 0., 0., 0., 0., 0., 0.};
+static const double o2_dnu0[NO2] = {
+    -0.00028, 0.00596, -0.01950, 0.032, -0.0475, 0.0541, -0.0232,
+    0.0155, 0.0007, -0.0086, -0.0026, -0.0013, -0.0004, -0.002,
+    0.005, -0.007, 0.007, -0.008, 0.006, -0.007, 0.006,
+    -0.006, 0.005, -0.0049, 0.0040, -0.0041, 0.0036, -0.0037,
+    0.0033, -0.0034, 0.0032, -0.0032, 0.0030, -0.0030, 0.0028,
+    -0.0029, 0.0029, -0.0029, 0., 0., 0., 0., 0., 0., 0., 0., 0., 0., 0.};
+static const double o2_dnu1[NO2] = {
+    -0.00037, 0.0086, -0.013, 0.019, -0.026, 0.027, 0.005,
+    -0.014, 0.012, -0.018, -0.015, 0.015, 0.003, -0.004,
+    0.012, -0.013, 0.012, -0.012, 0.009, -0.009, 0.002,
+    -0.002, 0.0005, -0.0005, 0.002, -0.002, 0.002, -0.002,
+    0.002, -0.002, 0.002, -0.002, 0.002, -0.002, 0.001,
+    -0.001, 0.0004, -0.0004, 0., 0., 0., 0., 0., 0., 0., 0., 0., 0., 0.};
+
+// compute_o2 (PWR20xx.cc:494-573)
+void oxygen(std::vector<double>& alpha, const std::vector<double>& f_hz,
+            double t, double p_pa, double o2_vmr, double h2o_vmr,
+            const double (&s300)[NO2], const double (&be)[NO2]) {
+  constexpr double cont_width_300 = 0.56;
+  constexpr double x = 0.754;
+  const double theta = 300.0 / t;
+  const double dth = theta - 1.0;
+  const double b = std::pow(theta, x);
+  const double pvap_pa = h2o_vmr * p_pa;
+  const double pdry_pa = p_pa - pvap_pa;
+  const double pvap_bar = 1e-5 * pvap_pa;
+  const double pdry_bar = 1e-5 * pdry_pa;
+  const double den = pdry_bar * b + 1.2 * pvap_bar * theta;
+  const double df_cont = cont_width_300 * den;
+  const double pe2 = den * den;
+  double y[NO2], dnu[NO2], g[NO2], width[NO2], strength[NO2];
+  for (int i = 0; i < NO2; i++) {
+    y[i] = den * (o2_y0[i] + o2_y1[i] * dth);
+    dnu[i] = pe2 * (o2_dnu0[i] + o2_dnu1[i] * dth);
+    g[i] = 1.0 + pe2 * (o2_g0[i] + o2_g1[i] * dth);
+    width[i] = o2_w300[i] * den;
+    strength[i] = s300[i] * std::exp(-be[i] * dth);
+  }
+  for (size_t iv = 0; iv < f_hz.size(); ++iv) {
+    const double f = f_hz[iv] * 1e-9;
+    const double f2 = f * f;
+    const double cont =
+        1.584e-17 * f2 * df_cont / (theta * (f2 + df_cont * df_cont));
+    double sum = cont;
+    for (int i = 0; i < NO2; i++) {
+      const double df1 = f - o2_f0[i] - dnu[i];
+      const double df2 = f + o2_f0[i] + dnu[i];
+      const double den1 = df1 * df1 + width[i] * width[i];
+      const double den2 = df2 * df2 + width[i] * width[i];
+      const double sfac1 = (width[i] * g[i] + df1 * y[i]) / den1;
+      const double sfac2 = (width[i] * g[i] - df2 * y[i]) / den2;
+      sum += strength[i] * (sfac1 + sfac2) * (f / o2_f0[i]) * (f / o2_f0[i]);
+    }
+    const double absorption = 1.004 * 1e-13 * o2_vmr * M_1_PI /
+                              (kB * 300.0) * sum * pdry_pa *
+                              theta * theta * theta;
+    alpha[iv] = absorption > 0 ? absorption : 0.0;
+  }
+}
+
+// compute_n2 (PWR20xx.cc:792-833)
+void nitrogen(std::vector<double>& alpha, const std::vector<double>& f_hz,
+              double t, double p_pa, double n2_vmr, double h2o_vmr) {
+  const double theta = 300.0 / t;
+  const double pdry_hpa = 1e-2 * p_pa * (1.0 - h2o_vmr);
+  const double cont = (n2_vmr / 0.781) * 9.95e-14 * pdry_hpa * pdry_hpa *
+                      std::pow(theta, 3.22);
+  for (size_t iv = 0; iv < f_hz.size(); ++iv) {
+    const double f = f_hz[iv] * 1e-9;
+    const double fdep = 0.5 + 0.5 / (1.0 + (f / 450.0) * (f / 450.0));
+    alpha[iv] = cont * fdep * f * f / 1000.0;
+  }
+}
+}  // namespace pwr20xx
+
+// ---------------------------------------------------------------------------
 static void emit(const char* name, const std::vector<double>& f,
                  double t, double p, double vmr,
                  const std::vector<double>& alpha, bool& first,
@@ -709,6 +980,48 @@ int main() {
       std::vector<double> a(f.size(), 0.0);
       mpm93::nitrogen(a, f, t, p, x, w);
       emit("N2-SelfContMPM93", f, t, p, x, a, first, w);
+    }
+  }
+
+  // PWR2021/PWR2022 H2O: SD-Voigt 22/183 GHz lines + wings + continuum
+  {
+    std::vector<double> f;
+    for (int i = 0; i < 30; i++) f.push_back(15e9 + i * 12e9);
+    f.push_back(22.23e9);  // on the SD line
+    f.push_back(183.31e9);
+    for (auto [t, p, x] : {std::array<double, 3>{296.0, 101325.0, 0.02},
+                           std::array<double, 3>{250.0, 3.0e4, 1e-4},
+                           std::array<double, 3>{310.0, 9.5e4, 0.04}}) {
+      std::vector<double> a1v(f.size(), 0.0), a2v(f.size(), 0.0);
+      pwr20xx::water(a1v, f, t, p, x, pwr20xx::h2o_2021, 300.0, 5.919e-10,
+                     3.0, 1.416e-8, 7.5);
+      pwr20xx::water(a2v, f, t, p, x, pwr20xx::h2o_2022, 300.0, 5.9197e-10,
+                     3.0, 1.4162e-8, 7.5);
+      emit("H2O-PWR2021", f, t, p, x, a1v, first);
+      emit("H2O-PWR2022", f, t, p, x, a2v, first);
+    }
+  }
+
+  // PWR2021/PWR2022 O2 + PWR2021 N2
+  {
+    std::vector<double> f;
+    for (int i = 0; i < 50; i++) f.push_back(45e9 + i * 0.55e9);
+    f.push_back(118.75e9);
+    f.push_back(424.7e9);
+    for (auto [t, p, x, w] :
+         {std::array<double, 4>{296.0, 101325.0, 0.2095, 0.01},
+          std::array<double, 4>{230.0, 1.0e4, 0.2095, 0.0},
+          std::array<double, 4>{310.0, 8.0e4, 0.18, 0.03}}) {
+      std::vector<double> a1v(f.size(), 0.0), a2v(f.size(), 0.0),
+          a3v(f.size(), 0.0);
+      pwr20xx::oxygen(a1v, f, t, p, x, w, pwr20xx::o2_s300_2021,
+                      pwr20xx::o2_be_2021);
+      pwr20xx::oxygen(a2v, f, t, p, x, w, pwr20xx::o2_s300_2022,
+                      pwr20xx::o2_be_2022);
+      pwr20xx::nitrogen(a3v, f, t, p, 0.781, w);
+      emit("O2-PWR2021", f, t, p, x, a1v, first, w);
+      emit("O2-PWR2022", f, t, p, x, a2v, first, w);
+      emit("N2-SelfContPWR2021", f, t, p, 0.781, a3v, first, w);
     }
   }
 

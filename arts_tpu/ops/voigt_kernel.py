@@ -80,23 +80,30 @@ def _wofz_weideman(zr, zi, n):
     return w_r, w_i
 
 
-def _wofz_asym(zr, zi):
-    """Laurent series w ~ i/(sqrt(pi) z) sum c_k z^-2k for |z|^2 > _ASYM_R2.
+# Laurent coefficients c_k = (2k-1)!!/2^k of w ~ i/(sqrt(pi) z) sum c_k z^-2k
+_LAURENT_C = (1.0, 0.5, 0.75, 15.0 / 8.0, 105.0 / 16.0, 945.0 / 32.0,
+              10395.0 / 64.0, 135135.0 / 128.0)
 
-    3 terms at f32 (rel err ~1.9 |z|^-6 = 1.4e-8 at the gate), 4 at f64
-    (~6.5 |z|^-8 = 9.4e-11)."""
+
+def _wofz_asym(zr, zi, terms=None):
+    """Laurent series w ~ i/(sqrt(pi) z) sum c_k z^-2k.
+
+    Error ~ the first omitted term, c_T/|z|^2T.  Default term counts at
+    the far gate |z|^2 > _ASYM_R2 = 512: 3 at f32 (1.9 |z|^-6 = 1.4e-8),
+    4 at f64 (6.6 |z|^-8 = 9.4e-11).  The mid tier (_MID_R2) passes
+    terms explicitly: 6 at f32 (|z|^2 >= 36 -> 7.4e-8), 8 at f64
+    (|z|^2 >= 150 -> 4e-14)."""
     r2 = zr * zr + zi * zi
     inv_r2 = _reciprocal(r2)
     # 1/z^2 = (zr^2 - zi^2 - 2 i zr zi)/|z|^4
     u_r = (zr * zr - zi * zi) * inv_r2 * inv_r2
     u_i = (-2.0 * zr * zi) * inv_r2 * inv_r2
-    if zr.dtype == jnp.float32:
-        coeffs, lead = (1.0 / 2.0, 1.0), 3.0 / 4.0
-    else:
-        coeffs, lead = (3.0 / 4.0, 1.0 / 2.0, 1.0), 15.0 / 8.0
-    s_r = jnp.full_like(zr, lead)
+    if terms is None:
+        terms = 3 if zr.dtype == jnp.float32 else 4
+    cs = _LAURENT_C[:terms]
+    s_r = jnp.full_like(zr, cs[-1])
     s_i = jnp.zeros_like(zr)
-    for c in coeffs:
+    for c in reversed(cs[:-1]):
         s_r, s_i = s_r * u_r - s_i * u_i + c, s_r * u_i + s_i * u_r
     # i/(sqrt(pi) z) = (zi + i zr)/(sqrt(pi)|z|^2)
     f_r = zi * inv_r2 * _INV_SQRT_PI
@@ -158,7 +165,14 @@ def _voigt_kernel(
         jnp.maximum(f0min_ref[jb] - tile_hi, tile_lo - f0max_ref[jb]), 0.0
     )
     gmin = igdmin_ref[jb] * gap
-    asym = gmin * gmin + zimin_ref[jb] * zimin_ref[jb] > 2.0 * _ASYM_R2
+    bound2 = gmin * gmin + zimin_ref[jb] * zimin_ref[jb]
+    asym = bound2 > 2.0 * _ASYM_R2
+    f32 = f_ref.dtype == jnp.float32
+    # mid tier: a longer Laurent series is still at roundoff well below
+    # the far gate (6 terms at f32 from |z|^2 = 36, 8 at f64 from 150),
+    # ~4x cheaper than the Weideman blend it replaces
+    mid_r2, mid_terms = (36.0, 6) if f32 else (150.0, 8)
+    mid = bound2 > 2.0 * mid_r2
 
     def load():
         df = f_ref[0, :][None, :] - f0_ref[:, 0][:, None]  # [TL, TF]
@@ -181,7 +195,13 @@ def _voigt_kernel(
         wr, wi = _wofz_asym(zr, zim)
         accumulate(df, wr, wi)
 
-    @pl.when(visit & jnp.logical_not(asym))
+    @pl.when(visit & mid & jnp.logical_not(asym))
+    def _():
+        df, zr, zim = load()
+        wr, wi = _wofz_asym(zr, zim, terms=mid_terms)
+        accumulate(df, wr, wi)
+
+    @pl.when(visit & jnp.logical_not(mid))
     def _():
         df, zr, zim = load()
         wr, wi = _wofz_parts(zr, zim, n)

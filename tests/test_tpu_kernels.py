@@ -56,6 +56,35 @@ def test_voigt_sum_interpret_matches_reference():
                                atol=5e-7 * scale, rtol=2e-6)
 
 
+def test_voigt_sum_mid_tier_laurent_accuracy():
+    """Blocks whose min |z|^2 sits between the mid gate (36 at f32) and
+    the far gate (512) take the 6-term Laurent path; check it against
+    the full plain-JAX wofz on a Doppler-dominated config built to land
+    there (tiny z_imag, line blocks ~1 freq tile away)."""
+    rng = np.random.default_rng(9)
+    L, F = 256, 512
+    f = jnp.linspace(-5e9, 5e9, F)
+    # lines clustered outside the grid: gap * inv_gd lands |z| in [6, 20]
+    f0 = jnp.asarray(np.sort(rng.uniform(6e9, 15e9, L)))
+    inv_gd = jnp.asarray(rng.uniform(1.0e-9, 1.4e-9, L))
+    z_imag = jnp.asarray(rng.uniform(1e-3, 0.3, L))  # far below the gates
+    s_re = jnp.asarray(rng.normal(size=L))
+    s_im = jnp.asarray(0.1 * rng.normal(size=L))
+    cutoff = jnp.full((L,), 1e30)
+    wcut = jnp.zeros((L,), jnp.complex64)
+
+    got = voigt_sum(
+        f, f0, inv_gd, z_imag, s_re, s_im, cutoff,
+        jnp.real(wcut), jnp.imag(wcut),
+        tf=256, tl=128, interpret=True,
+    )
+    w = wofz(inv_gd[:, None] * (f[None, :] - f0[:, None]) + 1j * z_imag[:, None])
+    want = jnp.sum(s_re[:, None] * jnp.real(w) - s_im[:, None] * jnp.imag(w), axis=0)
+    scale = float(jnp.max(jnp.abs(want)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-7 * scale, rtol=2e-6)
+
+
 def test_fused_eigen_interpret_matches_xla_path():
     rng = np.random.default_rng(4)
     F, L, nq, M, N = 6, 13, 8, 1, 4

@@ -393,3 +393,8 @@ PREDEF_MODELS["H2O-PWR2022"] = h2o_pwr2022
 PREDEF_MODELS["O2-PWR2021"] = o2_pwr2021
 PREDEF_MODELS["O2-PWR2022"] = o2_pwr2022
 PREDEF_MODELS["N2-SelfContPWR2021"] = n2_pwr2021
+
+from .ckdmt320 import h2o_foreign_ckdmt320, h2o_self_ckdmt320  # noqa: E402
+
+PREDEF_MODELS["H2O-SelfContCKDMT320"] = h2o_self_ckdmt320
+PREDEF_MODELS["H2O-ForeignContCKDMT320"] = h2o_foreign_ckdmt320

@@ -24,6 +24,7 @@
 
 #include <Faddeeva/Faddeeva.hh>
 
+#include "ckdmt320_data.inc"
 #include "ckdmt350_data.inc"
 
 static constexpr double c_light = 299792458.0;
@@ -610,6 +611,140 @@ void oxygen(std::vector<double>& alpha, const std::vector<double>& f_hz,
 }  // namespace tre05
 
 // ---------------------------------------------------------------------------
+// CKDMT320 (CKDMT320.cc:1211-1389 self, :1392-1518 foreign); note the
+// 3.20 conventions differ from 3.50: fill index I = I1 + J (:1275),
+// NPTC clamp npt+1 (:1262), explicit self SFAC corrections
+// (:1306-1321), XFAC_RHU[JFAC] without the +1 (:1460-1463)
+// ---------------------------------------------------------------------------
+namespace ckdmt320 {
+constexpr double xLosmt = 2.68675e19, TO = 296.0, T1 = 273.0, PO = 1013.0;
+constexpr double V1TAB = -20.0, DVTAB = 10.0;
+constexpr int NPT = 2003;
+
+void self_h2o(std::vector<double>& alpha, const std::vector<double>& f_hz,
+              double T, double P, double vmrh2o) {
+  static const double XFACREV[15] = {1.003, 1.009, 1.015, 1.023, 1.029,
+                                     1.033, 1.037, 1.039, 1.040, 1.046,
+                                     1.036, 1.027, 1.01,  1.002, 1.00};
+  const int nf = (int)f_hz.size();
+  auto freq2kaycm = [](double f) { return f / (100.0 * c_light); };
+  const double V1ABS = freq2kaycm(f_hz[0]);
+  const double V2ABS = freq2kaycm(f_hz[nf - 1]);
+  const double DVC = DVTAB;
+  double V1C = V1ABS - DVC, V2C = V2ABS + DVC;
+  int I1 = (int)((V1C - V1TAB) / DVTAB);
+  if (V1C < V1TAB) I1 = -1;
+  V1C = V1TAB + DVTAB * (double)I1;
+  const int I2 = (int)((V2C - V1TAB) / DVTAB);
+  int NPTC = I2 - I1 + 3;
+  if (NPTC > NPT) NPTC = NPT + 1;
+  V2C = V1C + DVTAB * (double)(NPTC - 1);
+  if (NPTC < 1) return;
+  std::vector<double> SH2OT0(NPTC + 1, 0.), SH2OT1(NPTC + 1, 0.);
+  for (int J = 1; J <= NPTC; ++J) {
+    const int I = I1 + J;
+    if ((I > 0) && (I <= NPT)) {
+      SH2OT0[J] = SL296_320[I];
+      SH2OT1[J] = SL260_320[I];
+    }
+  }
+  const double Pave = P * 1e-2;
+  const double Patm = Pave / PO;
+  const double Rh2o = Patm * (TO / T);
+  const double Tfac = (T - TO) / (260.0 - TO);
+  const double WTOT = xLosmt * (Pave / 1.013e3) * (2.73e2 / T);
+  const double W1 = vmrh2o * WTOT;
+  const double XKT = T / 1.4387752;
+  std::vector<double> k(NPTC + 1, 0.);
+  for (int J = 1; J <= NPTC; ++J) {
+    const double VJ = V1C + DVC * (double)(J - 1);
+    double SH2O = 0.0;
+    if (SH2OT0[J] > 0.0) {
+      SH2O = SH2OT0[J] * std::pow(SH2OT1[J] / SH2OT0[J], Tfac);
+      double SFAC = 1.0;
+      if ((VJ >= 820.0) && (VJ <= 960.0)) {
+        const int JFAC = (int)((VJ - 820.0) / 10.0 + 0.00001);
+        if ((JFAC >= 0) && (JFAC <= 14)) SFAC = XFACREV[JFAC];
+      }
+      SFAC *= 1.0 + (0.25 / (1.0 + std::pow(VJ / 350.0, 6.0)));
+      SFAC *= 1.0 + (0.08 / (1.0 + std::pow(VJ / 40.0, 6.0)));
+      SH2O = SFAC * SH2O;
+    }
+    // note the extra vmrh2o factor: the 3.20 port multiplies k by the
+    // vmr (cross section -> absorption), CKDMT320.cc:1328
+    k[J] = vmrh2o * W1 * Rh2o * (SH2O * 1e-20) * ckdmt350::RADFN_FUN(VJ, XKT);
+  }
+  for (int s = 0; s < nf; ++s) {
+    const double V = freq2kaycm(f_hz[s]);
+    if ((V > 0.0) && (V < 20000.0))
+      alpha[s] = 1e2 * ckdmt350::XINT_FUN(V1C, DVC, k, V);
+  }
+}
+
+void foreign_h2o(std::vector<double>& alpha, const std::vector<double>& f_hz,
+                 double T, double P, double vmrh2o) {
+  static const double XFAC_RHU[] = {
+      0.7810, 0.8330, 0.8500, 0.8330, 0.7810, 0.7540, 0.8180, 0.9140, 0.9980,
+      0.9830, 0.9330, 0.8850, 0.8420, 0.8070, 0.8000, 0.8010, 0.8100, 0.8090,
+      0.8320, 0.8180, 0.7970, 0.8240, 0.8640, 0.8830, 0.8830, 0.8470, 0.8380,
+      0.8660, 0.9410, 1.0400, 1.0680, 1.1410, 1.0800, 1.0340, 1.1550, 1.0990,
+      1.0270, 0.9500, 0.8950, 0.8150, 0.7830, 0.7700, 0.7000, 0.7650, 0.7750,
+      0.8500, 0.9000, 0.9050, 0.9540, 1.0200, 1.0200, 1.0250, 1.0200, 1.1000,
+      1.1250, 1.1200, 1.1110, 1.1370, 1.1600, 1.1490, 1.1070, 1.0640, 1.0450};
+  const int nf = (int)f_hz.size();
+  auto freq2kaycm = [](double f) { return f / (100.0 * c_light); };
+  const double V1ABS = freq2kaycm(f_hz[0]);
+  const double V2ABS = freq2kaycm(f_hz[nf - 1]);
+  const double DVC = DVTAB;
+  double V1C = V1ABS - DVC, V2C = V2ABS + DVC;
+  int I1 = (int)((V1C - V1TAB) / DVTAB);
+  if (V1C < V1TAB) I1 = -1;
+  V1C = V1TAB + DVTAB * (double)I1;
+  const int I2 = (int)((V2C - V1TAB) / DVTAB);
+  int NPTC = I2 - I1 + 3;
+  if (NPTC > NPT) NPTC = NPT + 1;
+  V2C = V1C + DVTAB * (double)(NPTC - 1);
+  if (NPTC < 1) return;
+  std::vector<double> FH2OT0(NPTC + 1, 0.);
+  for (int J = 1; J <= NPTC; ++J) {
+    const int I = I1 + J;
+    if ((I > 0) && (I <= NPT)) FH2OT0[J] = FH2O_320[I];
+  }
+  const double Pave = P * 1e-2;
+  const double PFRGN = (Pave / PO) * (1.0 - vmrh2o);
+  const double RFRGN = PFRGN * (TO / T);
+  const double WTOT = xLosmt * (Pave / PO) * (T1 / T);
+  const double XKT = T / 1.4387752;
+  std::vector<double> k(NPTC + 1, 0.);
+  for (int J = 1; J <= NPTC; ++J) {
+    const double VJ = V1C + DVC * (double)(J - 1);
+    double FSCAL;
+    if (VJ < 600.0) {
+      const int JFAC = (int)((VJ + 10.0) / 10.0 + 0.00001);
+      FSCAL = XFAC_RHU[JFAC];
+    } else {
+      const double VDELSQ1 = std::pow(VJ - 255.67, 2.0);
+      const double VDELmSQ1 = std::pow(VJ + 255.67, 2.0);
+      const double VF1 = std::pow((VJ - 255.67) / 57.83, 8.0);
+      const double VmF1 = std::pow((VJ + 255.67) / 57.83, 8.0);
+      const double VF2 = std::pow(VJ / 630.0, 8.0);
+      FSCAL = 1.0 + (0.06 + (-0.42) * (57600.0 / (VDELSQ1 + 57600.0 + VF1) +
+                                       57600.0 / (VDELmSQ1 + 57600.0 + VmF1))) /
+                        (1.0 + 0.3 * VF2);
+    }
+    const double FH2O = FH2OT0[J] * FSCAL;
+    k[J] = vmrh2o * WTOT * RFRGN * (FH2O * 1e-20) *
+           ckdmt350::RADFN_FUN(VJ, XKT);
+  }
+  for (int s = 0; s < nf; ++s) {
+    const double V = freq2kaycm(f_hz[s]);
+    if ((V >= 0.0) && (V < 20000.0))
+      alpha[s] = 1e2 * ckdmt350::XINT_FUN(V1C, DVC, k, V);
+  }
+}
+}  // namespace ckdmt320
+
+// ---------------------------------------------------------------------------
 // PWR20xx (PWR20xx.cc:21-166 water, :494-573 oxygen, :792-833 nitrogen)
 // ---------------------------------------------------------------------------
 namespace pwr20xx {
@@ -980,6 +1115,21 @@ int main() {
       std::vector<double> a(f.size(), 0.0);
       mpm93::nitrogen(a, f, t, p, x, w);
       emit("N2-SelfContMPM93", f, t, p, x, a, first, w);
+    }
+  }
+
+  // CKDMT320 self/foreign: same states as the 350 configs
+  {
+    std::vector<double> f;
+    for (int i = 0; i < 40; i++) f.push_back(10e9 + i * 14.9e12);
+    for (auto [t, p, x] : {std::array<double, 3>{296.0, 101325.0, 0.02},
+                           std::array<double, 3>{260.0, 5e4, 1e-3},
+                           std::array<double, 3>{310.0, 9.5e4, 0.04}}) {
+      std::vector<double> a1v(f.size(), 0.0), a2v(f.size(), 0.0);
+      ckdmt320::self_h2o(a1v, f, t, p, x);
+      ckdmt320::foreign_h2o(a2v, f, t, p, x);
+      emit("H2O-SelfContCKDMT320", f, t, p, x, a1v, first);
+      emit("H2O-ForeignContCKDMT320", f, t, p, x, a2v, first);
     }
   }
 

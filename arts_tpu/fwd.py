@@ -35,11 +35,13 @@ from .rtepack.emission import (
 
 def _emission_fn(rte_option: str):
     """Scalar emission recursion for an rte_option (TransmittanceOption)."""
+    from .options import RteOption, check_option
+
     return {
         "constant": emission_unpolarized,
         "lintau": emission_unpolarized_linsrc,
         "linprop": emission_unpolarized_linprop,
-    }[rte_option]
+    }[check_option(RteOption, rte_option)]
 
 
 @jax.tree_util.register_dataclass
@@ -177,6 +179,9 @@ def simulate_clearsky(
         refl = 1.0 - scene.surface_emissivity
         I0 = refl * I_down + scene.surface_emissivity * b_surf
     else:
+        from .options import PathBackground, check_option
+
+        check_option(PathBackground, background)
         I0 = cmb
 
     return _emission_fn(rte_option)(k, J, r, I0)
@@ -397,6 +402,9 @@ def simulate_clearsky_3d(
         refl = 1.0 - scene.surface_emissivity
         I0 = refl * I_down + scene.surface_emissivity * b_surf
     else:
+        from .options import PathBackground, check_option
+
+        check_option(PathBackground, background)
         I0 = cmb
 
     return emission_unpolarized(k, J, r, I0)

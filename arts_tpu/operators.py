@@ -19,13 +19,14 @@ from .ops.planck import inv_planck, rayleigh_jeans
 def spectral_radiance_transform(option: str):
     """Returns f(I, freq) -> transformed radiance. Options as the
     reference's SpectralRadianceUnitType: 'raw', 'Tb' (Planck), 'RJBT'."""
+    from .options import SpectralRadianceUnit, check_option
+
+    check_option(SpectralRadianceUnit, option)
     if option in ("raw", "1"):
         return lambda I, f: I
     if option == "Tb":
         return lambda I, f: inv_planck(I, f)
-    if option == "RJBT":
-        return lambda I, f: rayleigh_jeans(I, f)
-    raise ValueError(f"unknown spectral radiance unit {option}")
+    return lambda I, f: rayleigh_jeans(I, f)
 
 
 def transform_with_jacobian(option, I, dI, f_grid):

@@ -78,6 +78,9 @@ def oem(
     LM damping in mform scales Sa -> Sa/(1+gamma) (equivalent to the
     nform H + gamma Sa^-1).
     """
+    from ..options import OemMethod, check_option
+
+    check_option(OemMethod, method)
     use_cg = method.endswith("_cg")
     method = method.removesuffix("_cg")
     x_a = jnp.asarray(x_a)

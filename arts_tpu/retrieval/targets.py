@@ -166,11 +166,11 @@ class RetrievalTarget:
 
     @property
     def tf(self) -> Transform:
-        return (
-            TRANSFORMS[self.transform]
-            if isinstance(self.transform, str)
-            else self.transform
-        )
+        if isinstance(self.transform, str):
+            from ..options import RetrievalTransform, check_option
+
+            return TRANSFORMS[check_option(RetrievalTransform, self.transform)]
+        return self.transform
 
 
 @dataclasses.dataclass(frozen=True)

@@ -107,7 +107,12 @@ def gas_absorption_profile(scene: AllskyScene, f_grid, block: int = 256,
 
                 a = a + absorption_pallas(f_grid, scene.cat, scene.pf, t, p, v)
             else:
-                a = a + absorption(f_grid, scene.cat, scene.pf, t, p, v, block=block)
+                # "xla_realpair": identical math, no complex dtypes — the
+                # only LBL formulation the TPU x64 rewriter can compile
+                a = a + absorption(
+                    f_grid, scene.cat, scene.pf, t, p, v, block=block,
+                    realpair=(backend == "xla_realpair"),
+                )
         if scene.predef:
             from .predefined import predefined_absorption
 

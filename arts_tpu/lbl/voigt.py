@@ -57,11 +57,13 @@ def lineshape_params(cat: LineCatalog, T, P, vmr):
     return num / denom[:, None]
 
 
-def line_strengths(cat: LineCatalog, pf: PartFunTable, T, P, vmr, ls):
-    """Complex per-line strength (with the number-density and c^2/8pi/f0^3
-    prefactors folded in) and shifted center.
+def line_strengths_parts(cat: LineCatalog, pf: PartFunTable, T, P, vmr, ls):
+    """Per-line strength as (Re, Im) real arrays (with the number-density
+    and c^2/8pi/f0^3 prefactors folded in) and shifted center.
 
-    Returns (s [L] complex, f0s [L], inv_gd [L], z_imag [L]).  The factor
+    Returns (sr [L], si [L], f0s [L], inv_gd [L], z_imag [L]).  Real pairs
+    rather than one complex array so the complex-free f64-on-TPU path
+    (_shape_sum_realpair) never materializes a c128 value.  The factor
     grouping is deliberate: the reference computes s_lte ~ 1e-42 and a
     separate scl ~ 1e+50 prefactor (lbl_lineshape_voigt_lte.cpp:936) which
     over/underflow float32; here every intermediate stays in f32 range so
@@ -84,10 +86,73 @@ def line_strengths(cat: LineCatalog, pf: PartFunTable, T, P, vmr, ls):
         * inv_f0
     )  # ~1e7, f32-safe grouping
 
-    lm = (1.0 + ls[:, IG]) - 1j * ls[:, IY]  # line mixing factor
+    # build the complex strength via lax.complex of real products — NOT
+    # real_array * complex_array, whose f64->c128 convert the TPU x64
+    # rewriter cannot expand ("Unsupported CVT X64 expansion")
     x = vmr[cat.spec_idx]
-    s = (const.inv_sqrt_pi * inv_gd * cat.iso_ratio * x) * lm * (g_line * pref)
-    return s, f0s, inv_gd, z_imag
+    pre = (const.inv_sqrt_pi * inv_gd * cat.iso_ratio * x) * (g_line * pref)
+    sr = pre * (1.0 + ls[:, IG])
+    si = pre * (-ls[:, IY])
+    return sr, si, f0s, inv_gd, z_imag
+
+
+def line_strengths(cat: LineCatalog, pf: PartFunTable, T, P, vmr, ls):
+    """Complex-strength convenience wrapper around line_strengths_parts."""
+    sr, si, f0s, inv_gd, z_imag = line_strengths_parts(cat, pf, T, P, vmr, ls)
+    return jax.lax.complex(sr, si), f0s, inv_gd, z_imag
+
+
+def _shape_sum_realpair(
+    f_grid, sr, si, f0s, inv_gd, z_imag, cutoff, block: int,
+    mirrored: bool = False,
+):
+    """Re[_shape_sum] with NO complex dtypes anywhere: real-pair wofz from
+    the Pallas kernel helpers (ops/voigt_kernel._wofz_parts) as plain XLA.
+
+    Exists because the TPU x64 rewriter cannot compile complex128 graphs
+    at all (f64->c128 CVT expansions and tuple-shape check failures), so
+    this is the path that makes f64 LBL runnable ON TPU. [F] real."""
+    from ..ops.voigt_kernel import _wofz_parts
+
+    n = 24 if jnp.result_type(f_grid.dtype) == jnp.float32 else 64
+
+    def blocksum(args):
+        sr_b, si_b, f0_b, ig_b, zi_b, cut_b = args
+        zr = ig_b[:, None] * (f_grid[None, :] - f0_b[:, None])
+        zim = jnp.broadcast_to(zi_b[:, None], zr.shape)
+        wr, wi = _wofz_parts(zr, zim, n)
+        if mirrored:
+            zmr = ig_b[:, None] * (f_grid[None, :] + f0_b[:, None])
+            wmr, wmi = _wofz_parts(zmr, zim, n)
+            wr, wi = wr + wmr, wi + wmi
+        has_cut = jnp.isfinite(cut_b)
+        cut_safe = jnp.where(has_cut, cut_b, 0.0)
+        wcr, wci = _wofz_parts(ig_b * cut_safe, zi_b, n)
+        if mirrored:
+            wc2r, wc2i = _wofz_parts(ig_b * (2.0 * f0_b + cut_safe), zi_b, n)
+            wcr, wci = wcr + wc2r, wci + wc2i
+        wcr = jnp.where(has_cut, wcr, 0.0)[:, None]
+        wci = jnp.where(has_cut, wci, 0.0)[:, None]
+        inside = jnp.abs(f_grid[None, :] - f0_b[:, None]) <= cut_b[:, None]
+        vals = sr_b[:, None] * (wr - wcr) - si_b[:, None] * (wi - wci)
+        return jnp.sum(jnp.where(inside, vals, 0.0), axis=0)
+
+    L = sr.shape[0]
+    nblk = max(1, -(-L // block))
+    pad = nblk * block - L
+    if pad:
+        zpad = lambda a, v=0.0: jnp.concatenate(
+            [a, jnp.full((pad,), v, dtype=a.dtype)]
+        )
+        sr, si, f0s, inv_gd, z_imag = map(zpad, (sr, si, f0s, inv_gd, z_imag))
+        cutoff = zpad(cutoff, -1.0)
+    args = tuple(
+        a.reshape(nblk, block) for a in (sr, si, f0s, inv_gd, z_imag, cutoff)
+    )
+    if nblk == 1:
+        return blocksum(tuple(a[0] for a in args))
+    partial = jax.lax.map(blocksum, args)  # [nblk, F]
+    return jnp.sum(partial, axis=0)
 
 
 def _shape_sum(
@@ -102,24 +167,33 @@ def _shape_sum(
     # Weideman order by precision: 24 terms reach f32 roundoff; 64 for f64
     wofz_n = 24 if jnp.result_type(f_grid.dtype) == jnp.float32 else 64
 
+    # build z via lax.complex, NOT re + 1j*im: the latter lowers to a
+    # real->complex convert_element_type, which the TPU x64 rewriter
+    # cannot expand for f64->c128 ("Unsupported CVT X64 expansion")
+    zof = jax.lax.complex
+
     def blocksum(args):
         s_b, f0_b, ig_b, zi_b, cut_b = args
-        z = ig_b[:, None] * (f_grid[None, :] - f0_b[:, None]) + 1j * zi_b[:, None]
+        zr = ig_b[:, None] * (f_grid[None, :] - f0_b[:, None])
+        z = zof(zr, jnp.broadcast_to(zi_b[:, None], zr.shape))
         w = wofz(z, wofz_n)
         if mirrored:
-            zm = ig_b[:, None] * (f_grid[None, :] + f0_b[:, None]) + 1j * zi_b[:, None]
+            zmr = ig_b[:, None] * (f_grid[None, :] + f0_b[:, None])
+            zm = zof(zmr, jnp.broadcast_to(zi_b[:, None], zmr.shape))
             w = w + wofz(zm, wofz_n)
         has_cut = jnp.isfinite(cut_b)
         # sanitize inf cutoffs BEFORE the multiply: 0*inf inside a discarded
         # where-branch still NaNs the product's cotangent in reverse mode
         cut_safe = jnp.where(has_cut, cut_b, 0.0)
-        zcut = ig_b * cut_safe + 1j * zi_b
+        zcut = zof(ig_b * cut_safe, zi_b)
         wc = wofz(zcut, wofz_n)
         if mirrored:
-            wc = wc + wofz(ig_b * (2.0 * f0_b + cut_safe) + 1j * zi_b, wofz_n)
-        wcut = jnp.where(has_cut[:, None], wc[:, None], 0.0)
+            wc = wc + wofz(zof(ig_b * (2.0 * f0_b + cut_safe), zi_b), wofz_n)
+        # complex-typed zeros in the selects (a real 0.0 would lower to a
+        # scalar f64->c128 convert, unsupported by the TPU x64 rewriter)
+        wcut = jnp.where(has_cut[:, None], wc[:, None], 0j)
         inside = jnp.abs(f_grid[None, :] - f0_b[:, None]) <= cut_b[:, None]
-        contrib = jnp.where(inside, s_b[:, None] * (w - wcut), 0.0)
+        contrib = jnp.where(inside, s_b[:, None] * (w - wcut), 0j)
         return jnp.sum(contrib, axis=0)
 
     L = s.shape[0]
@@ -142,7 +216,8 @@ def _shape_sum(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("no_negative_absorption", "block", "mirrored")
+    jax.jit,
+    static_argnames=("no_negative_absorption", "block", "mirrored", "realpair"),
 )
 def absorption(
     f_grid,
@@ -154,21 +229,33 @@ def absorption(
     no_negative_absorption: bool = True,
     block: int = 256,
     mirrored: bool = False,
+    realpair: bool = False,
 ):
     """LBL absorption coefficient [1/m] on f_grid at one atmospheric point.
 
     Equivalent of the reference's spectral_propmatAddLines for the
     unpolarized Voigt-LTE case (src/m_lbl.cc:242 -> lbl_lineshape_voigt_lte
     calculate).  Returns [F] (the A-component of the propagation matrix).
+
+    realpair=True evaluates the identical math with no complex dtypes
+    (required for f64 on TPU, whose x64 rewriter cannot compile c128).
     """
     ls = lineshape_params(cat, T, P, vmr)
-    s, f0s, inv_gd, z_imag = line_strengths(cat, pf, T, P, vmr, ls)
-    shape = _shape_sum(f_grid, s, f0s, inv_gd, z_imag, cat.cutoff, block, mirrored)
+    if realpair:
+        sr, si, f0s, inv_gd, z_imag = line_strengths_parts(cat, pf, T, P, vmr, ls)
+        shape_re = _shape_sum_realpair(
+            f_grid, sr, si, f0s, inv_gd, z_imag, cat.cutoff, block, mirrored
+        )
+    else:
+        s, f0s, inv_gd, z_imag = line_strengths(cat, pf, T, P, vmr, ls)
+        shape_re = jnp.real(
+            _shape_sum(f_grid, s, f0s, inv_gd, z_imag, cat.cutoff, block, mirrored)
+        )
 
     # stimulated-emission frequency factor (the N, c^2/8pi, 1/f0^3 parts
     # are folded into the line strengths for f32 safety)
     scl = -f_grid * jnp.expm1(-(const.h * f_grid) / (const.k * T))
-    alpha = scl * jnp.real(shape)
+    alpha = scl * shape_re
     if no_negative_absorption:
         alpha = jnp.maximum(alpha, 0.0)
     return alpha
@@ -204,7 +291,9 @@ def absorption_pallas(
 
     has_cut = jnp.isfinite(cat.cutoff)
     cut_safe = jnp.where(has_cut, cat.cutoff, 0.0)
-    wcut = jnp.where(has_cut, wofz(inv_gd * cut_safe + 1j * z_imag), 0.0)
+    wcut = jnp.where(
+        has_cut, wofz(jax.lax.complex(inv_gd * cut_safe, z_imag)), 0.0
+    )
     cut_k = jnp.where(has_cut, cat.cutoff, 1e30)
 
     # common anchor keeps f32 differences accurate

@@ -398,3 +398,21 @@ from .ckdmt320 import h2o_foreign_ckdmt320, h2o_self_ckdmt320  # noqa: E402
 
 PREDEF_MODELS["H2O-SelfContCKDMT320"] = h2o_self_ckdmt320
 PREDEF_MODELS["H2O-ForeignContCKDMT320"] = h2o_foreign_ckdmt320
+
+from .mt_ckd_misc import (  # noqa: E402
+    co2_ckdmt252,
+    n2_fun_ckdmt252,
+    n2_rot_ckdmt252,
+    o2_cia_ckdmt100,
+    o2_v0v0_ckdmt100,
+    o2_v1v0_ckdmt100,
+    o2_vis_ckdmt252,
+)
+
+PREDEF_MODELS["CO2-CKDMT252"] = co2_ckdmt252
+PREDEF_MODELS["O2-visCKDMT252"] = o2_vis_ckdmt252
+PREDEF_MODELS["N2-CIAfunCKDMT252"] = n2_fun_ckdmt252
+PREDEF_MODELS["N2-CIArotCKDMT252"] = n2_rot_ckdmt252
+PREDEF_MODELS["O2-CIAfunCKDMT100"] = o2_cia_ckdmt100
+PREDEF_MODELS["O2-v0v0CKDMT100"] = o2_v0v0_ckdmt100
+PREDEF_MODELS["O2-v1v0CKDMT100"] = o2_v1v0_ckdmt100

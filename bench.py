@@ -102,11 +102,18 @@ def _cast_tree(tree, dtype):
 
 
 def _timeit(fn, iters=5):
-    out = fn()
+    """Time fn(i) over iters calls, i = 1..iters.
+
+    fn MUST vary its device inputs with i: the axon remote-execution
+    tunnel deduplicates bit-identical pure executions (measured 53 us vs
+    118 ms per iteration for the same jitted matmul chain), so timing a
+    loop of identical calls measures RPC caching, not the TPU.
+    """
+    out = fn(0)
     jax_block(out)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn()
+    for i in range(1, iters + 1):
+        out = fn(i)
     jax_block(out)
     return (time.perf_counter() - t0) / iters
 
@@ -140,13 +147,15 @@ def main():
     # ones), so the f64 variant runs in a subprocess below.
     scene, f_grid = build_scene()
 
-    def run():
+    def run(i):
         # two jits: absorption and the DISORT solve compile independently
         # (the fused whole-pipeline compile is pathologically slow on the
-        # remote-compile path)
-        k_gas = gas_absorption_profile(scene, f_grid, backend=backend)
+        # remote-compile path).  The i-Hz grid shift (<1e-11 relative) is
+        # physically irrelevant but makes every execution distinct.
+        fg = f_grid + jnp.float32(i)
+        k_gas = gas_absorption_profile(scene, fg, backend=backend)
         out = simulate_allsky(
-            scene, f_grid, nquad=16, nfourier=1, backend=backend,
+            scene, fg, nquad=16, nfourier=1, backend=backend,
             fast_linalg=True, k_gas=k_gas,
         )
         return out.flux_up
@@ -156,11 +165,28 @@ def main():
 
     extras = {}
     try:  # LBL-only f32, both backends (kernel speedup ratio)
-        dt_p = _timeit(lambda: gas_absorption_profile(scene, f_grid, backend=backend))
+        dt_p = _timeit(
+            lambda i: gas_absorption_profile(
+                scene, f_grid + jnp.float32(i), backend=backend
+            )
+        )
         extras["lbl_pts_per_s"] = f_grid.shape[0] / dt_p
         if backend == "pallas":
-            dt_x = _timeit(lambda: gas_absorption_profile(scene, f_grid, backend="xla"))
+            dt_x = _timeit(
+                lambda i: gas_absorption_profile(
+                    scene, f_grid + jnp.float32(i), backend="xla"
+                )
+            )
             extras["lbl_pallas_vs_xla"] = dt_x / dt_p
+            # numeric check of the COMPILED kernel on real TPU (interpret
+            # mode on CPU lives in tests/test_tpu_kernels.py; this guards
+            # the Mosaic-compiled artifact itself)
+            kp = np.asarray(gas_absorption_profile(scene, f_grid, backend=backend))
+            kx = np.asarray(gas_absorption_profile(scene, f_grid, backend="xla"))
+            scale = np.abs(kx).max()
+            extras["lbl_pallas_vs_xla_maxdiff"] = float(
+                np.abs(kp - kx).max() / scale
+            )
     except Exception as e:  # extras must never kill the headline metric
         extras["lbl_error"] = str(e)[:120]
     try:  # LBL-only f64: subprocess with x64 enabled, XLA backend
@@ -173,10 +199,15 @@ def main():
             capture_output=True, text=True, timeout=1500,
             env={**os.environ, "JAX_ENABLE_X64": "1"},
         )
-        extras["lbl_f64_pts_per_s"] = float(r.stdout.strip().splitlines()[-1])
+        lines_out = r.stdout.strip().splitlines()
+        if not lines_out:
+            raise RuntimeError(
+                f"f64 probe rc={r.returncode}: {r.stderr.strip()[-200:]}"
+            )
+        extras["lbl_f64_pts_per_s"] = float(lines_out[-1])
         extras["lbl_f64_backend"] = "xla"
     except Exception as e:
-        extras["lbl_f64_error"] = str(e)[:120]
+        extras["lbl_f64_error"] = str(e)[:200]
     try:  # Zeeman polarized propmat (auto g's from the .par quanta)
         from arts_tpu.io.hitran import zeeman_catalog_from_par
         from arts_tpu.lbl.zeeman import zeeman_propmat
@@ -198,7 +229,10 @@ def main():
             )
         )
         mag = jnp.asarray([0.0, 3e-5, 3e-5], jnp.float32)
-        dt_z = _timeit(lambda: zfun(pts.t, pts.p, pts.vmr, mag, 180.0), iters=3)
+        dt_z = _timeit(
+            lambda i: zfun(pts.t + jnp.float32(i) * 1e-6, pts.p, pts.vmr, mag, 180.0),
+            iters=3,
+        )
         extras["zeeman_pts_per_s"] = f_grid.shape[0] / dt_z
     except Exception as e:
         extras["zeeman_error"] = str(e)[:120]
@@ -234,9 +268,17 @@ def f64_probe():
         pass
     from arts_tpu.fwd_allsky import gas_absorption_profile
 
+    import jax.numpy as jnp
+
     scene, f_grid = build_scene()
+    # xla_realpair: the TPU x64 rewriter cannot compile complex128 graphs
+    # (CVT expansions + tuple-shape check failures), so f64-on-TPU runs
+    # the complex-free formulation (identical math, tested equal on CPU)
     dt = _timeit(
-        lambda: gas_absorption_profile(scene, f_grid, backend="xla"), iters=3
+        lambda i: gas_absorption_profile(
+            scene, f_grid + jnp.float64(i), backend="xla_realpair"
+        ),
+        iters=3,
     )
     print(f_grid.shape[0] / dt)
 

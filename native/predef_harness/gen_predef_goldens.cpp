@@ -26,6 +26,7 @@
 
 #include "ckdmt320_data.inc"
 #include "ckdmt350_data.inc"
+#include "mt_ckd_misc_data.inc"
 
 static constexpr double c_light = 299792458.0;
 static const double log10_euler = std::log10(std::exp(1.0));
@@ -745,6 +746,377 @@ void foreign_h2o(std::vector<double>& alpha, const std::vector<double>& f_hz,
 }  // namespace ckdmt320
 
 // ---------------------------------------------------------------------------
+// MT_CKD 2.52 band models (MT_CKD252.cc): CO2 continuum :89, O2 vis
+// :1157, N2 CIA fundamental :1532, N2 CIA rotational :1762.  All use the
+// port's cursor-lerp interpolation; RADFN shared with ckdmt350.
+// ---------------------------------------------------------------------------
+namespace mt_ckd252 {
+constexpr double xLosmt = 2.686763e19, T1 = 273.0, TO = 296.0, PO = 1013.0;
+
+static double lerp_out(const std::vector<double>& k, double V1C, double DVC,
+                       double V) {
+  // cursor interpolation (MT_CKD252.cc:1128-1135); k is the 1-based window
+  double VJ = V1C;
+  size_t J = 1;
+  while (V > VJ) {
+    VJ += DVC;
+    J++;
+  }
+  if (J < k.size() - 1) {
+    const double tt = 1. + (V - VJ) / DVC;  // std::lerp(k[J], k[J+1], tt)
+    return k[J] + tt * (k[J + 1] - k[J]);
+  }
+  return 0.0;
+}
+
+// carbon_dioxide (MT_CKD252.cc:89-1156)
+void co2(std::vector<double>& alpha, const std::vector<double>& f_hz,
+         double t, double p_pa, double vmr) {
+  constexpr double v1t = -4.0, dvt = 2.0;
+  constexpr int npt = 5003;
+  const int nf = (int)f_hz.size();
+  const double V1ABS = f_hz[0] / (c_light * 1e2);
+  const double V2ABS = f_hz[nf - 1] / (c_light * 1e2);
+  const double DVC = dvt;
+  double V1C = V1ABS - DVC, V2C = V2ABS + DVC;
+  int I1 = (int)((V1C - v1t) / dvt + 0.01);
+  if (V1C < v1t) I1 = -1;
+  V1C = v1t + dvt * (double)(I1 - 1);
+  const int I2 = (int)((V2C - v1t) / dvt + 0.01);
+  int NPTC = I2 - I1 + 3;
+  if (NPTC > npt) NPTC = npt + 1;
+  V2C = V1C + dvt * (double)(NPTC - 1);
+  if (NPTC < 1) return;
+  std::vector<double> FCO2T0(NPTC + 1, 0.);
+  for (int J = 1; J <= NPTC; ++J) {
+    const int I = I1 + J - 2;
+    if ((I >= 0) && (I < npt)) FCO2T0[J] = FCO2_252[I];
+  }
+  const double Tave = t, Pave = p_pa * 1e-2;
+  const double Rhoave = (Pave / PO) * (TO / Tave);
+  const double WTOT = xLosmt * (Pave / PO) * (T1 / Tave);
+  const double XKT = Tave / 1.4387752;
+  std::vector<double> k(NPTC + 1, 0.);
+  for (int J = 1; J <= NPTC; ++J) {
+    const double VJ = V1C + DVC * (double)(J - 1);
+    double FCO2 = FCO2T0[J];
+    const int I1J = I1 + J - 1;
+    if ((I1J >= 1196) && (I1J <= 1220))
+      FCO2 = std::pow(Tave / 246.0, TDEP_BANDHEAD[I1J - 1196]) * FCO2;
+    if ((VJ > 2000.0) && (VJ < 2998.0)) {
+      const int JFAC = (int)((VJ - 1998.0) / 2.0 + 0.00001);
+      FCO2 = XFAC_CO2[JFAC - 1] * FCO2;
+    }
+    k[J] = WTOT * Rhoave * (FCO2 * 1e-20) * ckdmt350::RADFN_FUN(VJ, XKT);
+  }
+  for (int s = 0; s < nf; ++s) {
+    const double V = f_hz[s] / (c_light * 1e2);
+    if ((V > 0.0) && (V < v1t + dvt * (npt - 1)))
+      alpha[s] = vmr * 1e2 * lerp_out(k, V1C, DVC, V);
+  }
+}
+
+// oxygen_vis (MT_CKD252.cc:1157-1531)
+void o2_vis(std::vector<double>& alpha, const std::vector<double>& f_hz,
+            double t, double p_pa, double vmr) {
+  constexpr double v1t = 15000.0, v2t = 29870.0, dvt = 10.0;
+  constexpr int npt = 1488;
+  const int nf = (int)f_hz.size();
+  const double V1ABS = f_hz[0] / (c_light * 1e2);
+  const double V2ABS = f_hz[nf - 1] / (c_light * 1e2);
+  const double DVC = dvt;
+  double V1C = V1ABS - DVC, V2C = V2ABS + DVC;
+  int I1 = (int)((V1C - v1t) / dvt + 0.01);
+  if (V1C < v1t) I1 = I1 - 1;
+  V1C = v1t + dvt * (double)(I1 - 1);
+  const int I2 = (int)((V2C - v1t) / dvt + 0.01);
+  const int NPTC = I2 - I1 + 3;
+  V2C = V1C + dvt * (double)(NPTC - 1);
+  if (NPTC < 1) return;
+  std::vector<double> CO(NPTC + 1, 0.);
+  for (int J = 1; J <= NPTC; ++J) {
+    const int I = I1 + J - 2;
+    if ((I >= 0) && (I < npt)) {
+      const double VJ = V1C + DVC * (double)(J - 1);
+      CO[J] = O2_VIS_252[I] / VJ;
+    }
+  }
+  const double Tave = t, Pave = p_pa * 1e-2;
+  const double WTOT = 1e-20 * xLosmt * (Pave / PO) * (T1 / Tave);
+  const double XKT = Tave / 1.4387752;
+  const double tau_fac = WTOT * (Pave / PO) * (T1 / Tave);
+  const double factor =
+      1.0 / (xLosmt * 1e-20 * std::pow(55.0 * 273.0 / 296.0, 2) * 89.5);
+  std::vector<double> k(NPTC + 1, 0.);
+  for (int J = 1; J <= NPTC; ++J) {
+    const double VJ = V1C + DVC * (double)(J - 1);
+    k[J] = CO[J] * factor * tau_fac * ckdmt350::RADFN_FUN(VJ, XKT);
+  }
+  for (int s = 0; s < nf; ++s) {
+    const double V = f_hz[s] / (c_light * 1e2);
+    if ((V > v1t) && (V < v2t))
+      alpha[s] = vmr * 1e2 * lerp_out(k, V1C, DVC, V);
+  }
+}
+
+// nitrogen_fun (MT_CKD252.cc:1532-1760)
+void n2_fun(std::vector<double>& alpha, const std::vector<double>& f_hz,
+            double t, double p_pa, double n2, double o2, double h2o) {
+  constexpr double v1t = 2001.766357, v2t = 2710.45, dvt = 3.981461525;
+  constexpr int npt = 179;
+  const int nf = (int)f_hz.size();
+  const double V1ABS = f_hz[0] / (c_light * 1e2);
+  const double V2ABS = f_hz[nf - 1] / (c_light * 1e2);
+  const double DVC = dvt;
+  double V1C = V1ABS - DVC, V2C = V2ABS + DVC;
+  int I1 = (int)((V1C - v1t) / dvt + 0.01);
+  if (V1C < v1t) I1 = -1;
+  V1C = v1t + dvt * (double)(I1 - 1);
+  const int I2 = (int)((V2C - v1t) / dvt + 0.01);
+  int NPTC = I2 - I1 + 3;
+  if (NPTC > npt) NPTC = npt + 1;
+  V2C = V1C + dvt * (double)(NPTC - 1);
+  if (NPTC < 1) return;
+  std::vector<double> xn2(NPTC + 1, 0.), xn2t(NPTC + 1, 0.);
+  for (int J = 1; J <= NPTC; ++J) {
+    const int I = I1 + J - 2;
+    if ((I >= 0) && (I < npt)) {
+      xn2[J] = N2F_252[I];
+      xn2t[J] = N2FT_252[I];
+    }
+  }
+  const double Tave = t, Pave = p_pa * 1e-2;
+  const double WTOT = xLosmt * (Pave / PO) * (T1 / Tave);
+  const double tau_fac = WTOT * (Pave / PO) * (T1 / Tave);
+  const double a_o2 = 1.294 - 0.4545 * Tave / 296.0;
+  const double XKT = Tave / 1.4387752;
+  const double xktfac =
+      ((1.0 / Tave) - (1.0 / 272)) / ((1.0 / 228) - (1.0 / 272));
+  const double xt_lin = (Tave - 272) / (228 - 272);
+  const double factor = (1.0 / xLosmt) * (n2 + a_o2 * o2 + 1.0 * h2o);
+  std::vector<double> k(NPTC + 2, 0.);
+  double VJ = V1C - DVC;
+  for (int J = 1; J <= NPTC; ++J) {
+    VJ += DVC;
+    double C0;
+    if ((xn2[J] > 0.0) && (xn2t[J] > 0.0))
+      C0 = factor * xn2[J] * std::pow(xn2t[J] / xn2[J], xktfac) / VJ;
+    else
+      C0 = factor * (xn2[J] + (xn2t[J] - xn2[J]) * xt_lin) / VJ;
+    k[J] = tau_fac * C0 * ckdmt350::RADFN_FUN(VJ, XKT);
+  }
+  for (int s = 0; s < nf; ++s) {
+    const double V = f_hz[s] / (c_light * 1e2);
+    if ((V > v1t) && (V < v2t))
+      alpha[s] = n2 * 1e2 * lerp_out(k, V1C, DVC, V);
+  }
+}
+
+// nitrogen_rot (MT_CKD252.cc:1762-1971)
+void n2_rot(std::vector<double>& alpha, const std::vector<double>& f_hz,
+            double t, double p_pa, double n2, double o2, double h2o) {
+  constexpr double v1t = -10.0, v2t = 350.0, dvt = 5.0;
+  constexpr int npt = 73;
+  const int nf = (int)f_hz.size();
+  const double V1ABS = f_hz[0] / (c_light * 1e2);
+  const double V2ABS = f_hz[nf - 1] / (c_light * 1e2);
+  const double DVC = dvt;
+  double V1C = V1ABS - DVC, V2C = V2ABS + DVC;
+  int I1 = (int)((V1C - v1t) / dvt + 0.01);
+  if (V1C < v1t) I1 = -1;
+  V1C = v1t + dvt * (double)(I1 - 1);
+  const int I2 = (int)((V2C - v1t) / dvt + 0.01);
+  int NPTC = I2 - I1 + 3;
+  if (NPTC > npt) NPTC = npt + 1;
+  V2C = V1C + dvt * (double)(NPTC - 1);
+  if (NPTC < 1) return;
+  std::vector<double> C0(NPTC + 1, 0.), C1(NPTC + 1, 0.),
+      sf_T0(NPTC + 1, 0.), sf_T1(NPTC + 1, 0.);
+  for (int J = 1; J <= NPTC; ++J) {
+    const int I = I1 + J - 2;
+    if ((I >= 0) && (I < npt)) {
+      C0[J] = N2R_CT296[I];
+      sf_T0[J] = N2R_SF296[I];
+      C1[J] = N2R_CT220[I];
+      sf_T1[J] = N2R_SF220[I];
+    }
+  }
+  const double Tave = t, Pave = p_pa * 1e-2;
+  const double facfac =
+      n2 * (Pave / PO) * (Pave / PO) * (T1 / Tave) * (T1 / Tave);
+  const double XKT = Tave / 1.4387752;
+  const double Tfac = (Tave - TO) / (220.0 - TO);
+  std::vector<double> k(NPTC + 1, 0.);
+  for (int J = 1; J <= NPTC; ++J) {
+    const double VJ = V1C + DVC * (double)(J - 1);
+    double SN2 = 0.0;
+    if ((C0[J] > 0.0) && (C1[J] > 0.0)) {
+      const double C = C0[J] * std::pow(C1[J] / C0[J], Tfac);
+      const double sf =
+          (sf_T0[J] * std::pow(sf_T1[J] / sf_T0[J], Tfac) - 1.0) *
+          (0.79 / 0.21);
+      SN2 = facfac * C * (n2 + sf * o2 + h2o);
+    }
+    k[J] = SN2 * ckdmt350::RADFN_FUN(VJ, XKT);
+  }
+  for (int s = 0; s < nf; ++s) {
+    const double V = f_hz[s] / (c_light * 1e2);
+    if ((V > 0.0) && (V < v2t))
+      alpha[s] = n2 * 1e2 * lerp_out(k, V1C, DVC, V);
+  }
+}
+}  // namespace mt_ckd252
+
+// ---------------------------------------------------------------------------
+// MT_CKD 1.00 O2 band models (MT_CKD100.cc): CIA fundamental :184,
+// v0<-v0 :381, v1<-v0 :580.  4-point XINT interpolation.
+// ---------------------------------------------------------------------------
+namespace mt_ckd100 {
+constexpr double xLosmt = 2.686763e19, T1 = 273.0, TO = 296.0, PO = 1013.0;
+
+// oxygen_cia (MT_CKD100.cc:184-380)
+void o2_cia(std::vector<double>& alpha, const std::vector<double>& f_hz,
+            double t, double p_pa, double vmr) {
+  constexpr double v1t = 1340.0, v2t = 1850.0, dvt = 5.0;
+  constexpr int npt = 103;
+  const int nf = (int)f_hz.size();
+  const double V1ABS = f_hz[0] / (c_light * 1e2);
+  const double V2ABS = f_hz[nf - 1] / (c_light * 1e2);
+  const double DVC = dvt;
+  double V1C = V1ABS - DVC, V2C = V2ABS + DVC;
+  int I1 = (int)((V1C - v1t) / dvt);
+  if (V1C < v1t) I1 = -1;
+  V1C = v1t + dvt * (double)I1;
+  const int I2 = (int)((V2C - v1t) / dvt);
+  int NPTC = I2 - I1 + 3;
+  if (NPTC > npt) NPTC = npt + 1;
+  V2C = V1C + dvt * (double)(NPTC - 1);
+  if (NPTC < 1) return;
+  std::vector<double> xo2(NPTC + 1, 0.), xo2t(NPTC + 1, 0.);
+  for (int J = 1; J <= NPTC; ++J) {
+    const int I = I1 + J;
+    if ((I > 0) && (I <= npt)) {
+      xo2[J] = O2F_100[I];
+      xo2t[J] = O2FT_100[I];
+    }
+  }
+  const double Tave = t, Pave = p_pa * 1e-2;
+  const double WTOT = xLosmt * (Pave / PO) * (T1 / Tave);
+  const double tau_fac = WTOT * (Pave / PO) * (T1 / Tave);
+  const double XKT = Tave / 1.4387752;
+  const double xktfac = (1.0 / TO) - (1.0 / Tave);
+  const double factor = 1.0 / xLosmt;
+  std::vector<double> k(NPTC + 2, 0.);
+  for (int J = 1; J <= NPTC; ++J) {
+    const double VJ = V1C + DVC * (double)(J - 1);
+    double SO2 = 0.0;
+    if (xo2[J] > 0.0) {
+      const double C0 = factor * xo2[J] * std::exp(xo2t[J] * xktfac) / VJ;
+      SO2 = tau_fac * C0;
+    }
+    k[J] = SO2 * ckdmt350::RADFN_FUN(VJ, XKT);
+  }
+  for (int s = 0; s < nf; ++s) {
+    const double V = f_hz[s] / (c_light * 1e2);
+    if ((V > v1t) && (V < v2t))
+      alpha[s] = vmr * 1e2 * ckdmt350::XINT_FUN(V1C, DVC, k, V);
+  }
+}
+
+// oxygen_v0v0 (MT_CKD100.cc:381-580)
+void o2_v0v0(std::vector<double>& alpha, const std::vector<double>& f_hz,
+             double t, double p_pa, double o2, double n2) {
+  constexpr double v1t = 7536.0, v2t = 8500.0, dvt = 2.0;
+  constexpr int npt = 483;
+  const int nf = (int)f_hz.size();
+  const double V1ABS = f_hz[0] / (c_light * 1e2);
+  const double V2ABS = f_hz[nf - 1] / (c_light * 1e2);
+  const double DVC = dvt;
+  double V1C = V1ABS - DVC, V2C = V2ABS + DVC;
+  int I1 = (int)((V1C - v1t) / dvt);
+  if (V1C < v1t) I1 = I1 - 1;
+  V1C = v1t + dvt * (double)I1;
+  const int I2 = (int)((V2C - v1t) / dvt);
+  const int NPTC = I2 - I1 + 3;
+  V2C = V1C + dvt * (double)(NPTC - 1);
+  if (NPTC < 1) return;
+  std::vector<double> CO(NPTC + 1, 0.);
+  for (int J = 1; J <= NPTC; ++J) {
+    const int I = I1 + J;
+    if ((I > 0) && (I <= npt)) {
+      const double VJ = V1C + DVC * (double)(J - 1);
+      CO[J] = O2_00_100[I] / VJ;
+    }
+  }
+  const double Tave = t, Pave = p_pa * 1e-2;
+  const double ADJWO2 = (o2 + 0.3 * n2) / 0.446 * (Pave / PO) * (Pave / PO) *
+                        (T1 / Tave) * (T1 / Tave);
+  const double XKT = Tave / 1.4387752;
+  std::vector<double> k(NPTC + 1, 0.);
+  for (int J = 1; J <= NPTC; ++J) {
+    const double VJ = V1C + DVC * (double)(J - 1);
+    double SO2 = 0.0;
+    if (CO[J] > 0.0) SO2 = ADJWO2 * CO[J];
+    k[J] = SO2 * ckdmt350::RADFN_FUN(VJ, XKT);
+  }
+  for (int s = 0; s < nf; ++s) {
+    const double V = f_hz[s] / (c_light * 1e2);
+    if ((V > v1t) && (V < v2t))
+      alpha[s] = o2 * 1e2 * ckdmt350::XINT_FUN(V1C, DVC, k, V);
+  }
+}
+
+// oxygen_v0v1 (MT_CKD100.cc:580-736); the window is f_grid-anchored
+void o2_v1v0(std::vector<double>& alpha, const std::vector<double>& f_hz,
+             double t, double p_pa, double vmr) {
+  constexpr double V1S = 9100.0, V2S = 11000.0, DVS = 2.0;
+  constexpr double V1_osc = 9375.0, HW1 = 58.96, S1 = 1.166e-4;
+  constexpr double V2_osc = 9439.0, HW2 = 45.04, S2 = 3.086e-5;
+  const int nf = (int)f_hz.size();
+  const double V1ABS = f_hz[0] / (c_light * 1e2);
+  const double V2ABS = f_hz[nf - 1] / (c_light * 1e2);
+  const double DVC = DVS;
+  double V1C = V1ABS - DVC;
+  double V2C = V2ABS + DVC;
+  const int NPTC = (int)((V2C - V1C) / DVC + 3);
+  V2C = V1C + DVC * (double)(NPTC - 1);
+  if (NPTC < 1) return;
+  std::vector<double> C(NPTC + 1, 0.);
+  for (int J = 1; J <= NPTC; ++J) {
+    const double VJ = V1C + DVC * (double)(J - 1);
+    if ((VJ > V1S) && (VJ < V2S)) {
+      const double DV1 = VJ - V1_osc;
+      const double DV2 = VJ - V2_osc;
+      const double DAMP1 = DV1 < 0.0 ? std::exp(DV1 / 176.1) : 1.0;
+      const double DAMP2 = DV2 < 0.0 ? std::exp(DV2 / 176.1) : 1.0;
+      const double O2INF =
+          0.31831 *
+          ((S1 * DAMP1 / HW1) / (1.0 + (DV1 / HW1) * (DV1 / HW1)) +
+           (S2 * DAMP2 / HW2) / (1.0 + (DV2 / HW2) * (DV2 / HW2))) *
+          1.054;
+      C[J] = O2INF / VJ;
+    }
+  }
+  const double Tave = t, Pave = p_pa * 1e-2;
+  const double WTOT = 1e-20 * xLosmt * (Pave / PO) * (T1 / Tave);
+  const double ADJWO2 = (vmr / 0.209) * WTOT * (Pave / PO) * (TO / Tave);
+  const double XKT = Tave / 1.4387752;
+  std::vector<double> k(NPTC + 1, 0.);
+  for (int J = 1; J <= NPTC; ++J) {
+    const double VJ = V1C + DVC * (double)(J - 1);
+    double SO2 = 0.0;
+    if (C[J] > 0.0) SO2 = ADJWO2 * C[J];
+    k[J] = SO2 * ckdmt350::RADFN_FUN(VJ, XKT);
+  }
+  for (int s = 0; s < nf; ++s) {
+    const double V = f_hz[s] / (c_light * 1e2);
+    if ((V > V1S) && (V < V2S))
+      alpha[s] = vmr * 1e2 * ckdmt350::XINT_FUN(V1C, DVC, k, V);
+  }
+}
+}  // namespace mt_ckd100
+
+// ---------------------------------------------------------------------------
 // PWR20xx (PWR20xx.cc:21-166 water, :494-573 oxygen, :792-833 nitrogen)
 // ---------------------------------------------------------------------------
 namespace pwr20xx {
@@ -1014,12 +1386,15 @@ void nitrogen(std::vector<double>& alpha, const std::vector<double>& f_hz,
 static void emit(const char* name, const std::vector<double>& f,
                  double t, double p, double vmr,
                  const std::vector<double>& alpha, bool& first,
-                 double vmr_h2o = -1.0) {
+                 double vmr_h2o = -1.0, double vmr_o2 = -1.0,
+                 double vmr_n2 = -1.0) {
   if (!first) printf(",\n");
   first = false;
   printf("  {\"model\": \"%s\", \"t\": %.17g, \"p\": %.17g, \"vmr\": %.17g,\n",
          name, t, p, vmr);
   if (vmr_h2o >= 0.0) printf("   \"vmr_h2o\": %.17g,\n", vmr_h2o);
+  if (vmr_o2 >= 0.0) printf("   \"vmr_o2\": %.17g,\n", vmr_o2);
+  if (vmr_n2 >= 0.0) printf("   \"vmr_n2\": %.17g,\n", vmr_n2);
   printf("   \"f_hz\": [");
   for (size_t i = 0; i < f.size(); i++)
     printf("%s%.17g", i ? ", " : "", f[i]);
@@ -1130,6 +1505,63 @@ int main() {
       ckdmt320::foreign_h2o(a2v, f, t, p, x);
       emit("H2O-SelfContCKDMT320", f, t, p, x, a1v, first);
       emit("H2O-ForeignContCKDMT320", f, t, p, x, a2v, first);
+    }
+  }
+
+  // MT_CKD 2.52 / 1.00 band models; off-lattice wavenumbers
+  {
+    const double kaycm = 2.99792458e10;  // cm^-1 -> Hz
+    auto grid = [&](double v_lo, double v_hi, int n) {
+      std::vector<double> f;
+      for (int i = 0; i < n; i++)
+        f.push_back((v_lo + (v_hi - v_lo) * i / (n - 1) + 0.137) * kaycm);
+      return f;
+    };
+    for (auto [t, p] : {std::array<double, 2>{296.0, 101325.0},
+                        std::array<double, 2>{250.0, 5.0e4}}) {
+      {  // CO2 continuum incl. bandhead + Xfac regions
+        auto f = grid(300.0, 2995.0, 40);
+        std::vector<double> a(f.size(), 0.0);
+        mt_ckd252::co2(a, f, t, p, 4.2e-4);
+        emit("CO2-CKDMT252", f, t, p, 4.2e-4, a, first);
+      }
+      {  // O2 visible
+        auto f = grid(15100.0, 29000.0, 30);
+        std::vector<double> a(f.size(), 0.0);
+        mt_ckd252::o2_vis(a, f, t, p, 0.2095);
+        emit("O2-visCKDMT252", f, t, p, 0.2095, a, first);
+      }
+      {  // N2 CIA fundamental (mixture-broadened)
+        auto f = grid(2010.0, 2700.0, 30);
+        std::vector<double> a(f.size(), 0.0);
+        mt_ckd252::n2_fun(a, f, t, p, 0.781, 0.2095, 0.01);
+        emit("N2-CIAfunCKDMT252", f, t, p, 0.781, a, first, 0.01, 0.2095);
+      }
+      {  // N2 CIA rotational
+        auto f = grid(5.0, 345.0, 30);
+        std::vector<double> a(f.size(), 0.0);
+        mt_ckd252::n2_rot(a, f, t, p, 0.781, 0.2095, 0.01);
+        emit("N2-CIArotCKDMT252", f, t, p, 0.781, a, first, 0.01, 0.2095);
+      }
+      {  // O2 CIA fundamental
+        auto f = grid(1345.0, 1845.0, 30);
+        std::vector<double> a(f.size(), 0.0);
+        mt_ckd100::o2_cia(a, f, t, p, 0.2095);
+        emit("O2-CIAfunCKDMT100", f, t, p, 0.2095, a, first);
+      }
+      {  // O2 v0<-v0 1.27um band (N2-adjusted)
+        auto f = grid(7540.0, 8495.0, 30);
+        std::vector<double> a(f.size(), 0.0);
+        mt_ckd100::o2_v0v0(a, f, t, p, 0.2095, 0.781);
+        emit("O2-v0v0CKDMT100", f, t, p, 0.2095, a, first, -1.0, -1.0,
+             0.781);
+      }
+      {  // O2 v1<-v0 band (analytic; f_grid-anchored window here)
+        auto f = grid(9105.0, 10995.0, 30);
+        std::vector<double> a(f.size(), 0.0);
+        mt_ckd100::o2_v1v0(a, f, t, p, 0.2095);
+        emit("O2-v1v0CKDMT100", f, t, p, 0.2095, a, first);
+      }
     }
   }
 

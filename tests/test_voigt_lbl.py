@@ -200,3 +200,18 @@ def test_mirrored_lineshape():
     assert a_mirr[0] > a_plain[0]
     # near line center the mirror is negligible relative to the direct term
     np.testing.assert_allclose(a_mirr[2], a_plain[2], rtol=1e-3)
+
+
+def test_absorption_realpair_matches_complex_path():
+    """The complex-free formulation (required for f64-on-TPU: the x64
+    rewriter cannot compile c128 graphs) is the same math."""
+    a_c = np.asarray(
+        absorption(jnp.asarray(F_GRID), CAT, PF, T, P, jnp.asarray(VMR))
+    )
+    a_r = np.asarray(
+        absorption(
+            jnp.asarray(F_GRID), CAT, PF, T, P, jnp.asarray(VMR), realpair=True
+        )
+    )
+    scale = a_c.max()
+    np.testing.assert_allclose(a_r, a_c, rtol=1e-9, atol=1e-12 * scale)

@@ -95,6 +95,9 @@ def to_abs_species(species):
         if spec == "H2O":
             out.append("H2O-ForeignContCKDMT400")
             out.append("H2O-SelfContCKDMT400")
+            if find_xml("predef/H2O-SelfContCKDMT430") is not None:
+                out.append("H2O-ForeignContCKDMT430")
+                out.append("H2O-SelfContCKDMT430")
         elif spec == "CO2":
             out.append("CO2-CKDMT252")
     seen = set()

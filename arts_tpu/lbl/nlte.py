@@ -147,15 +147,20 @@ def line_profiles(f_grid, cat: LineCatalog, T, P, vmr):
     """Normalized Voigt profiles phi_l(f) [L, F] at one atmospheric point
     (int phi df = 1); the line-flux integration weight of
     nlte_line_flux_profileIntegrate (m_spectral_flux.cc:233-272)."""
-    from ..ops.wofz import wofz
+    # real-pair Faddeeva (no complex dtypes): keeps the NLTE forward path
+    # compilable at f64 on TPU (x64 rewriter rejects complex128 graphs)
+    from ..ops.voigt_kernel import _wofz_parts
 
     ls = lineshape_params(cat, T, P, vmr)
     f0s = cat.f0 + ls[:, ID0] + ls[:, IDV]
     gd_part = jnp.sqrt(const.doppler_broadening_const_squared * T / cat.iso_mass)
     inv_gd = 1.0 / (gd_part * f0s)
     z_imag = ls[:, IG0] * inv_gd
-    z = inv_gd[:, None] * (f_grid[None, :] - f0s[:, None]) + 1j * z_imag[:, None]
-    return const.inv_sqrt_pi * inv_gd[:, None] * jnp.real(wofz(z))
+    zr = inv_gd[:, None] * (f_grid[None, :] - f0s[:, None])
+    zi = jnp.broadcast_to(z_imag[:, None], zr.shape)
+    n = 24 if jnp.result_type(zr.dtype) == jnp.float32 else 64
+    wr, _ = _wofz_parts(zr, zi, n)
+    return const.inv_sqrt_pi * inv_gd[:, None] * wr
 
 
 def mean_intensity_profile(

@@ -229,7 +229,7 @@ def absorption(
     no_negative_absorption: bool = True,
     block: int = 256,
     mirrored: bool = False,
-    realpair: bool = False,
+    realpair: bool | None = None,
 ):
     """LBL absorption coefficient [1/m] on f_grid at one atmospheric point.
 
@@ -239,7 +239,14 @@ def absorption(
 
     realpair=True evaluates the identical math with no complex dtypes
     (required for f64 on TPU, whose x64 rewriter cannot compile c128).
+    Default None auto-selects it whenever an f64 trace meets a non-CPU
+    backend, so f64 forward operators compile on the chip out of the box.
     """
+    if realpair is None:
+        realpair = (
+            jnp.result_type(f_grid.dtype) == jnp.float64
+            and jax.default_backend() != "cpu"
+        )
     ls = lineshape_params(cat, T, P, vmr)
     if realpair:
         sr, si, f0s, inv_gd, z_imag = line_strengths_parts(cat, pf, T, P, vmr, ls)

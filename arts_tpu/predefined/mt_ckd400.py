@@ -53,7 +53,10 @@ def _xint(p, a0, a1, a2, a3):
     return -a0 * B1 + a1 * (1.0 - C + B2) + a2 * (C + B1) - a3 * B2
 
 
-def _eval(f_grid, t, p_pa, vmrh2o, data: MTCKD400Data, self_mode: bool):
+def _eval(f_grid, t, p_pa, vmrh2o, data, mode: str):
+    """Shared MT_CKD 4.x node-table evaluation (modes: self | foreign |
+    foreign_closure); the 430 scaling laws are identical to 400's
+    (MT_CKD430.cc:291-296 vs MT_CKD400.cc), 430 adds the closure table."""
     v = data.wavenumbers
     dvc = v[1] - v[0]
     x = f_grid / (100.0 * const.c)  # freq2kaycm
@@ -63,7 +66,7 @@ def _eval(f_grid, t, p_pa, vmrh2o, data: MTCKD400Data, self_mode: bool):
     rho_rat = (p_pa / P0) * (T0 / t)
     num_den_cm2 = 1e-6 * vmrh2o * p_pa / (const.k * t)
 
-    if self_mode:
+    if mode == "self":
         scl_node = (
             data.self_absco_ref
             * (T0 / t) ** data.self_texp
@@ -72,9 +75,12 @@ def _eval(f_grid, t, p_pa, vmrh2o, data: MTCKD400Data, self_mode: bool):
             * _radfn(v, xkt)
         )
     else:
-        scl_node = (
-            data.for_absco_ref * (1.0 - vmrh2o) * rho_rat * _radfn(v, xkt)
+        absco = (
+            data.for_closure_absco_ref
+            if mode == "foreign_closure"
+            else data.for_absco_ref
         )
+        scl_node = absco * (1.0 - vmrh2o) * rho_rat * _radfn(v, xkt)
 
     # 4-neighbor gather: nodes i-1, i, i+1, i+2 around x with i = floor
     i = jnp.clip(jnp.floor((x - v[0]) / dvc).astype(jnp.int32), 0, v.shape[0] - 2)
@@ -87,9 +93,39 @@ def _eval(f_grid, t, p_pa, vmrh2o, data: MTCKD400Data, self_mode: bool):
 
 def h2o_self_mtckd400(f_grid, t, p_pa, vmrs, data: MTCKD400Data):
     """H2O-SelfContCKDMT400 absorption [1/m]."""
-    return _eval(f_grid, t, p_pa, vmrs["H2O"], data, True)
+    return _eval(f_grid, t, p_pa, vmrs["H2O"], data, "self")
 
 
 def h2o_foreign_mtckd400(f_grid, t, p_pa, vmrs, data: MTCKD400Data):
     """H2O-ForeignContCKDMT400 absorption [1/m]."""
-    return _eval(f_grid, t, p_pa, vmrs["H2O"], data, False)
+    return _eval(f_grid, t, p_pa, vmrs["H2O"], data, "foreign")
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class MTCKD430Data:
+    """MT_CKD430::WaterData parity (predef_data.h:30-41): 400's layout
+    plus the foreign-closure reference table."""
+
+    wavenumbers: jax.Array  # [N] uniform ascending
+    self_absco_ref: jax.Array  # [N]
+    for_absco_ref: jax.Array  # [N]
+    for_closure_absco_ref: jax.Array  # [N]
+    self_texp: jax.Array  # [N]
+    ref_press: jax.Array  # [mbar]
+    ref_temp: jax.Array  # [K]
+
+
+def h2o_self_mtckd430(f_grid, t, p_pa, vmrs, data: MTCKD430Data):
+    """H2O-SelfContCKDMT430 absorption [1/m] (MT_CKD430.cc:270)."""
+    return _eval(f_grid, t, p_pa, vmrs["H2O"], data, "self")
+
+
+def h2o_foreign_mtckd430(f_grid, t, p_pa, vmrs, data: MTCKD430Data):
+    """H2O-ForeignContCKDMT430 absorption [1/m] (MT_CKD430.cc:180)."""
+    return _eval(f_grid, t, p_pa, vmrs["H2O"], data, "foreign")
+
+
+def h2o_foreign_closure_mtckd430(f_grid, t, p_pa, vmrs, data: MTCKD430Data):
+    """H2O-ForeignContClosureCKDMT430 absorption [1/m] (MT_CKD430.cc:103)."""
+    return _eval(f_grid, t, p_pa, vmrs["H2O"], data, "foreign_closure")

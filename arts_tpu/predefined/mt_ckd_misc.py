@@ -55,10 +55,16 @@ def _lerp_cursor(f_grid, v0, dv, k_node, lo, hi):
     n = k_node.shape[0]
     i = jnp.ceil((x - v0) / dv).astype(jnp.int32)  # first node >= V
     t = 1.0 + (x - (v0 + dv * i)) / dv
-    a = k_node[jnp.clip(i, 0, n - 1)]
-    b = k_node[jnp.clip(i + 1, 0, n - 1)]
+    # nodes outside the table are zero, and the lerp still runs: the
+    # reference windows the table into a zero-initialized local array one
+    # step wider on each side, so the last half-interval below `hi`
+    # interpolates toward an implicit 0 at v_max + dv
+    # (MT_CKD252.cc:1899-1908 window fill, :1965 lerp)
+    a = jnp.where((i >= 0) & (i < n), k_node[jnp.clip(i, 0, n - 1)], 0.0)
+    ip1 = i + 1
+    b = jnp.where((ip1 >= 0) & (ip1 < n), k_node[jnp.clip(ip1, 0, n - 1)], 0.0)
     out = a + t * (b - a)
-    inside = (x > lo) & (x < hi) & (i >= 0) & (i + 1 < n)
+    inside = (x > lo) & (x < hi)
     return jnp.where(inside, out, 0.0)
 
 

@@ -97,13 +97,22 @@ def emission_unpolarized_linsrc(k, J, r, I0):
 
 
 def _wofz_parts(x):
-    """(Re w(ix), Im w(x)) for real x >= 0: erfcx(x) and (2/sqrt(pi)) D(x)."""
-    from ..ops.wofz import wofz
+    """(erfcx(x), sqrt(pi)/2 * Im w(x)) for real x >= 0: erfcx and D(x).
 
-    cdtype = jnp.complex128 if x.dtype == jnp.float64 else jnp.complex64
-    erfcx = jnp.real(wofz((1j * x.astype(jnp.float64)).astype(cdtype)))
-    dawson2 = jnp.imag(wofz(x.astype(cdtype)))
-    return erfcx.astype(x.dtype), (0.5 * math.sqrt(math.pi)) * dawson2.astype(x.dtype)
+    Complex-free evaluation via the real-pair Faddeeva from the Pallas
+    helpers (erfcx(x) = Re w(ix); Dawson from Im w(x)): the TPU x64
+    rewriter cannot compile complex128 graphs, and these weights sit in
+    the f64 lintau/linprop forward paths."""
+    from ..ops.voigt_kernel import _wofz_parts as _wp
+
+    xd = x.astype(jnp.float64)
+    n = 64 if xd.dtype == jnp.float64 else 24
+    zero = jnp.zeros_like(xd)
+    erfcx, _ = _wp(zero, xd, n)  # w(i x) is real: erfcx(x)
+    _, dawson2 = _wp(xd, zero, n)  # Im w(x) = (2/sqrt(pi)) D(x)
+    return erfcx.astype(x.dtype), (
+        (0.5 * math.sqrt(math.pi)) * dawson2
+    ).astype(x.dtype)
 
 
 def emission_unpolarized_linprop(k, J, r, I0):

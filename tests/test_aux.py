@@ -57,6 +57,47 @@ def test_mt_ckd400_machinery():
     )
 
 
+def test_mt_ckd430_machinery():
+    # 430 = 400's scaling laws + a separate foreign-closure table
+    # (MT_CKD430.cc:103,180,270); check table selection and self parity
+    from arts_tpu.predefined.mt_ckd400 import (
+        MTCKD430Data,
+        h2o_foreign_closure_mtckd430,
+        h2o_foreign_mtckd430,
+        h2o_self_mtckd430,
+    )
+
+    wn = jnp.linspace(0.0, 2000.0, 201)
+    data430 = MTCKD430Data(
+        wavenumbers=wn,
+        self_absco_ref=jnp.full((201,), 1e-22),
+        for_absco_ref=jnp.full((201,), 2e-23),
+        for_closure_absco_ref=jnp.full((201,), 8e-23),
+        self_texp=jnp.full((201,), 6.0),
+        ref_press=jnp.asarray(1013.0),
+        ref_temp=jnp.asarray(296.0),
+    )
+    data400 = MTCKD400Data(
+        wavenumbers=wn,
+        self_absco_ref=jnp.full((201,), 1e-22),
+        for_absco_ref=jnp.full((201,), 2e-23),
+        self_texp=jnp.full((201,), 6.0),
+        ref_press=jnp.asarray(1013.0),
+        ref_temp=jnp.asarray(296.0),
+    )
+    f = jnp.asarray([500.0 * 100 * const.c])
+    T, P, vh2o = 280.0, 9e4, 0.01
+    args = (f, T, P, {"H2O": vh2o})
+    np.testing.assert_allclose(
+        np.asarray(h2o_self_mtckd430(*args, data430)),
+        np.asarray(h2o_self_mtckd400(*args, data400)),
+        rtol=1e-12,
+    )
+    a_for = np.asarray(h2o_foreign_mtckd430(*args, data430))
+    a_clo = np.asarray(h2o_foreign_closure_mtckd430(*args, data430))
+    np.testing.assert_allclose(a_clo / a_for, 4.0, rtol=1e-10)
+
+
 def test_profiler_report():
     clear_report()
     with scope("unit-test-scope"):

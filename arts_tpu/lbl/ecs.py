@@ -494,8 +494,18 @@ def ecs_absorption(f_grid, band: EcsBand, pf, iso_idx, T, P, vmr_self, iso_ratio
         W = renorm(i, W)
 
     # band matrix (f0 + D0 real diagonal, i W with G0 on W's diagonal) and
-    # detailed-balance symmetrization
-    M = jnp.diag(band.f0 + D0) + 1j * W
+    # detailed-balance symmetrization.  On non-CPU backends an f64 trace
+    # builds the matrix at complex64: the TPU x64 rewriter cannot compile
+    # complex128 graphs at all, and c64 eigenvalues (~1e-7 rel) sit well
+    # below line-mixing model error; CPU keeps full c128 precision.
+    re_part = jnp.diag(band.f0 + D0)
+    if (
+        jnp.result_type(W.dtype) == jnp.float64
+        and jax.default_backend() != "cpu"
+    ):
+        re_part = re_part.astype(jnp.float32)
+        W = W.astype(jnp.float32)
+    M = jax.lax.complex(re_part, W.astype(re_part.dtype))
     d = jnp.exp(-band.e0 / (2.0 * kT))
     Msym = d[:, None] * M / d[None, :]
     Msym = 0.5 * (Msym + Msym.T)  # symmetric to roundoff by construction
@@ -504,21 +514,26 @@ def ecs_absorption(f_grid, band: EcsBand, pf, iso_idx, T, P, vmr_self, iso_ratio
     # equivalent strengths: (dip d) Q * (pop dip / d) Q (core_calc_eqv with
     # V = D Q, V^-1 = Q^T D^-1); TPU bf16 matmul default is not enough here
     hp = jax.lax.Precision.HIGHEST
-    s1 = jnp.einsum("i,ik->k", band.dip * d + 0j, Qc, precision=hp)
-    s2 = jnp.einsum("i,ik->k", (pop * band.dip) / d + 0j, Qc, precision=hp)
+    # keep every complex intermediate at Qc's precision (c64 on the TPU
+    # f64 path — mixing f64 reals back in would silently re-promote to
+    # the uncompilable c128)
+    rt = re_part.dtype
+    cvec = lambda x: jax.lax.complex(x.astype(rt), jnp.zeros_like(x, rt))
+    s1 = jnp.einsum("i,ik->k", cvec(band.dip * d), Qc, precision=hp)
+    s2 = jnp.einsum("i,ik->k", cvec((pop * band.dip) / d), Qc, precision=hp)
     # fold the number density into the strengths now: in f32 the raw
     # str/gamd * w products (~1e-36) would flush to zero in the far wings
     N_ = P / (const.k * T)
-    eqv_str = (s1 * s2) * N_
+    eqv_str = (s1 * s2) * jnp.asarray(N_).astype(rt)
     # equivalent Voigt lines (core_calc :104-121)
     # gamd is the Doppler HWHM (the sqrt(ln 2) factors in cte and the final
     # prefactor assume this convention)
     gd_fac = jnp.sqrt(const.doppler_broadening_const_squared * T / band.mass)
     gamd = const.sqrt_ln_2 * gd_fac * jnp.real(vals)
     cte = const.sqrt_ln_2 / gamd
-    z = (vals[:, None] - f_grid[None, :]) * cte[:, None]
+    z = (vals[:, None] - f_grid.astype(rt)[None, :]) * cte.astype(rt)[:, None]
     wv = wofz(z)
-    shape = jnp.sum((eqv_str / gamd)[:, None] * wv, axis=0)
+    shape = jnp.sum((eqv_str / gamd.astype(rt))[:, None] * wv, axis=0)
 
     scl = -f_grid * jnp.expm1(-(const.h * f_grid) / kT)
     F = (

@@ -30,13 +30,26 @@ def fresnel(n1, n2, theta_deg):
     [deg].  Power reflectance is |R|^2.  Total internal reflection returns
     (1, 1) as in the reference's pair overload (physics_funcs.cc:123-140).
     """
-    n1 = jnp.asarray(n1, jnp.complex128)
-    n2 = jnp.asarray(n2, jnp.complex128)
+    # c64 on non-CPU backends: the TPU x64 rewriter cannot compile
+    # complex128 graphs, and |R|^2 at c64 (~1e-7 rel) is far below any
+    # emissivity model error; CPU keeps complex128.
+    import jax
+
+    cdtype = (
+        jnp.complex128 if jax.default_backend() == "cpu" else jnp.complex64
+    )
+    n1 = jnp.asarray(n1, cdtype)
+    n2 = jnp.asarray(n2, cdtype)
+    rdtype = jnp.float64 if cdtype == jnp.complex128 else jnp.float32
     th = jnp.deg2rad(jnp.asarray(theta_deg))
     cos1 = jnp.cos(th)
-    sin2 = jnp.real(n1) * jnp.sin(th) / jnp.real(n2)
+    sin2 = jnp.real(n1) * jnp.sin(th).astype(rdtype) / jnp.real(n2)
     tir = jnp.abs(sin2) > 1.0
     cos2 = jnp.cos(jnp.arcsin(jnp.clip(sin2, -1.0, 1.0)))
+    # cast the real cosines to the complex dtype's real part so the
+    # products below do not re-promote c64 to c128 on the TPU path
+    cos1 = cos1.astype(rdtype)
+    cos2 = cos2.astype(rdtype)
     a, b = n2 * cos1, n1 * cos2
     c, d = n1 * cos1, n2 * cos2
     rv = (a - b) / (a + b)

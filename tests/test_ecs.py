@@ -386,3 +386,22 @@ def test_sphtop_no_coupling_limit():
     a_ref = np.asarray(absorption(f, cat, PF, T, P, jnp.asarray([vmr]),
                                   no_negative_absorption=False))
     assert np.abs(a_ecs - a_ref).max() / a_ref.max() < 2e-3
+
+
+def test_tpu_f64_c64_clamp_branch(monkeypatch):
+    """The f64-on-TPU complex-dtype clamp (c128 is uncompilable on the
+    chip; ecs builds the band matrix at c64 there) must produce the same
+    absorption to c64 precision. Exercised on CPU by patching the
+    backend query that selects the branch."""
+    import jax as _jax
+
+    lines = o2_like_lines(3)
+    band = make_o2_band(lines)
+    f = jnp.linspace(54e9, 67e9, 201)
+    T, P, vmr = 250.0, 5e4, 0.21
+    a_ref = np.asarray(ecs_absorption(f, band, PF, 0, T, P, vmr))
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+    a_c64 = np.asarray(ecs_absorption(f, band, PF, 0, T, P, vmr))
+    rel = np.abs(a_c64 - a_ref) / np.abs(a_ref).max()
+    assert np.all(np.isfinite(a_c64))
+    assert rel.max() < 5e-4, rel.max()

@@ -82,18 +82,26 @@ class Atmosphere1D:
 
 
 def hydrostatic_pressure(
-    z, t, p0, g0=9.80665, mean_mass_gmol=28.9647, radius=6.371e6
+    z, t, p0, g0=9.80665, mean_mass_gmol=28.9647, radius=6.371e6,
+    gravity=None, lat_deg=0.0,
 ):
     """Hydrostatic p(z) from T(z) and surface pressure (host or traced).
 
     Parity: m_atm.cc atm_fieldHydrostaticPressure; gravity decays with
     altitude as g0 (R/(R+z))^2 (the reference's gravity operator in the
-    functional fields, src/core/functional/)."""
+    functional fields, src/core/functional/).  Pass gravity=callable
+    g(h, lat_deg) — e.g. path.geodesy.ellipsoid_gravity("Mars") — to use
+    the reference's EllipsoidGravity GM/r^2 operator for other bodies
+    (functional_gravity.cpp:7, gravity_operatorCentralMass
+    m_planets.cc:261); g0/radius are then ignored."""
     from .. import constants as const
 
     m = mean_mass_gmol * 1e-3 / const.NA  # molecule mass [kg]
     zbar = 0.5 * (z[1:] + z[:-1])
-    g = g0 * (radius / (radius + zbar)) ** 2
+    if gravity is not None:
+        g = gravity(zbar, lat_deg)
+    else:
+        g = g0 * (radius / (radius + zbar)) ** 2
     tbar = 0.5 * (t[1:] + t[:-1])
     dz = z[1:] - z[:-1]
     dlnp = -m * g * dz / (const.k * tbar)

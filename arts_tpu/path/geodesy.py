@@ -12,13 +12,56 @@ WGS84_A = 6378137.0
 WGS84_B = 6356752.314245
 
 
+# Body registry: (a, b, GM) per planet/moon — semi-axes [m] and the
+# gravitational parameter GM [m^3/s^2] (SI; the reference's planet_data.h
+# tabulates GM in km^3/s^2 and its gravity_operatorCentralMass builds
+# GM = G*mass in SI, so SI is the unit actually consumed).  Io carries the
+# spherical radius the reference uses in surf_fieldIo (m_planets.cc:149).
+BODIES = {
+    "Earth": (WGS84_A, WGS84_B, 3.98600435507e14),
+    "Jupiter": (71492e3, 66854e3, 1.267127641e17),
+    "Mars": (3396.19e3, 3376.20e3, 4.2828375816e13),
+    "Moon": (1738.1e3, 1736.0e3, 4.902800118e12),
+    "Mercury": (2439.7e3, 2439.7e3, 2.2031868551e13),
+    "Venus": (6051.8e3, 6051.8e3, 3.24858592e14),
+    "Saturn": (60268e3, 54364e3, 3.79405848418e16),
+    "Io": (1821.6e3, 1821.6e3, 5.959916e12),
+}
+
+
 def ellipsoid_radii(planet="Earth"):
-    return {
-        "Earth": (WGS84_A, WGS84_B),
-        "Mars": (3396190.0, 3376200.0),
-        "Venus": (6051800.0, 6051800.0),
-        "Jupiter": (71492000.0, 66854000.0),
-    }[planet]
+    """(a, b) semi-axes [m].  Parity: planet_data.h Body::* + surf_fieldIo."""
+    a, b, _ = BODIES[planet]
+    return a, b
+
+
+def ellipsoid_gravity(planet=None, GM=None, a=None, b=None):
+    """g(h, lat_deg) [m/s^2] on the ellipsoid normal at geodetic height h.
+
+    Parity: EllipsoidGravity::operator() (functional_gravity.cpp:7-19) —
+    g = GM / r^2 with r the geocentric distance of the geodetic point
+    (the lon terms there collapse: cos^2 + sin^2 = 1).  Pass a planet
+    name from BODIES, or explicit GM/a/b as gravity_operatorCentralMass
+    does with GM = G * mass (m_planets.cc:271-278).  Works on numpy or
+    traced jax arrays (pure closed form).
+    """
+    if planet is not None:
+        a, b, GM = BODIES[planet]
+    e2 = 1.0 - (b / a) ** 2
+
+    def g(h, lat_deg=0.0, lon_deg=0.0):
+        if isinstance(h, np.ndarray) or np.isscalar(lat_deg) and np.isscalar(h):
+            xp = np
+        else:  # traced/jax inputs (hydrostatic init under jit)
+            import jax.numpy as xp
+        lat = xp.deg2rad(lat_deg)
+        sl = xp.sin(lat)
+        cl = xp.cos(lat)
+        N = a / xp.sqrt(1.0 - e2 * sl * sl)
+        r2 = ((N + h) * cl) ** 2 + ((N * (1.0 - e2) + h) * sl) ** 2
+        return GM / r2
+
+    return g
 
 
 def geodetic2ecef(lat_deg, lon_deg, alt, a=WGS84_A, b=WGS84_B):

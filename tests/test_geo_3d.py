@@ -321,3 +321,59 @@ def test_subsurface_disort_scattering_darkens():
     )
     assert I_illum > I_scat
     np.testing.assert_allclose(I_illum, B, rtol=0.05)  # near-cavity limit
+
+
+def test_planet_bodies_and_ellipsoid_gravity():
+    """Body registry + GM/r^2 gravity (planet_data.h, functional_gravity.cpp:7,
+    gravity_operatorCentralMass m_planets.cc:261)."""
+    from arts_tpu.path.geodesy import BODIES, ellipsoid_gravity, ellipsoid_radii
+
+    # the seven planet_data.h bodies plus Io (surf_fieldIo sphere)
+    for name in ("Earth", "Jupiter", "Mars", "Moon", "Mercury", "Venus",
+                 "Saturn", "Io"):
+        a, b = ellipsoid_radii(name)
+        assert a >= b > 0
+
+    g_earth = ellipsoid_gravity("Earth")
+    a, b, GM = BODIES["Earth"]
+    # equator: r = a; pole: r = b (purely radial GM/r^2, as the reference)
+    np.testing.assert_allclose(g_earth(0.0, 0.0), GM / a**2, rtol=1e-12)
+    np.testing.assert_allclose(g_earth(0.0, 90.0), GM / b**2, rtol=1e-9)
+    assert abs(g_earth(0.0, 0.0) - 9.798) < 0.01
+    # altitude decay ~ 1/r^2
+    np.testing.assert_allclose(
+        g_earth(400e3, 0.0), GM / (a + 400e3) ** 2, rtol=1e-12
+    )
+    # explicit GM/a/b path (gravity_operatorCentralMass: GM = G*mass)
+    g_custom = ellipsoid_gravity(GM=GM, a=a, b=b)
+    np.testing.assert_allclose(g_custom(123e3, 37.0), g_earth(123e3, 37.0))
+    # Mars surface gravity ~ 3.7 m/s^2
+    assert abs(ellipsoid_gravity("Mars")(0.0, 0.0) - 3.72) < 0.02
+
+
+def test_hydrostatic_with_planet_gravity():
+    """hydrostatic_pressure(gravity=...) uses the body's g: the Mars CO2
+    column has a larger scale height than the same column under Earth g."""
+    from arts_tpu.atm.field import hydrostatic_pressure
+    from arts_tpu.path.geodesy import ellipsoid_gravity
+
+    z = jnp.linspace(0.0, 30e3, 61)
+    t = jnp.full((61,), 210.0)
+    p_mars = hydrostatic_pressure(
+        z, t, 636.0, mean_mass_gmol=43.34,
+        gravity=ellipsoid_gravity("Mars"),
+    )
+    p_earthg = hydrostatic_pressure(
+        z, t, 636.0, mean_mass_gmol=43.34,
+        gravity=ellipsoid_gravity("Earth"),
+    )
+    assert float(p_mars[-1]) > float(p_earthg[-1])
+    # closed-form isothermal check: H = kT/(m g), p = p0 exp(-z/H) with
+    # g evaluated mid-column (small 1/r^2 variation over 30 km)
+    import arts_tpu.constants as const
+
+    g_mid = ellipsoid_gravity("Mars")(15e3, 0.0)
+    H = const.k * 210.0 / (43.34e-3 / const.NA * g_mid)
+    np.testing.assert_allclose(
+        float(p_mars[-1]), 636.0 * np.exp(-30e3 / H), rtol=2e-3
+    )

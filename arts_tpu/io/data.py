@@ -109,16 +109,22 @@ def to_abs_species(species):
     return uniq
 
 
-def read_catalog_data(species, cutoff=np.inf, fmin=0.0, fmax=np.inf):
+def read_catalog_data(
+    species, cutoff=np.inf, fmin=0.0, fmax=np.inf, q_t0=None
+):
     """Ingest the cat-data layout into framework objects
     (Workspace.ReadCatalogData analogue for the pytree world).
 
     For each species tag, every lines/<Species>-*.xml AbsorptionBand file
-    is read into build_catalog line dicts; CIA pairs load as CIARecords.
-    Returns dict(cat=LineCatalog | None, cia=[CIARecord...],
+    is read into build_catalog line dicts; legacy ARTSCAT-3/4
+    ArrayOfLineRecord files (planetary catalogs, e.g. spectroscopy/Perrin)
+    are routed through io.artscat and need q_t0 = {isotopologue: Q(T0)}
+    for the strength conversion.  CIA pairs load as CIARecords.  Returns
+    dict(cat=LineCatalog | None, cia=[CIARecord...],
     tags=[resolved absorption tags]).
     """
     from ..lbl.catalog import build_catalog
+    from .artscat import read_artscat
     from .artsxml import load_abs_bands
 
     species = list(species)
@@ -130,7 +136,18 @@ def read_catalog_data(species, cutoff=np.inf, fmin=0.0, fmax=np.inf):
         for f in sorted(d.glob("*.xml")):
             stem = f.stem.split("-")[0]
             if stem in species:
-                lines.extend(load_abs_bands(f, species))
+                head = f.read_text(errors="ignore")[:4096]
+                if "ArrayOfLineRecord" in head:
+                    n_iso = 1 + max(
+                        (l.get("iso_idx", -1) for l in lines), default=-1
+                    )
+                    lines.extend(
+                        read_artscat(
+                            str(f), species, q_t0=q_t0, iso_start=n_iso
+                        )
+                    )
+                else:
+                    lines.extend(load_abs_bands(f, species))
     for l in lines:
         l["cutoff"] = min(l.get("cutoff", np.inf), cutoff)
     lines = [l for l in lines if fmin <= l["f0"] <= fmax]

@@ -184,10 +184,10 @@ def o2_lines_from_par(records, pf_Q296, iso_abundance=0.995262,
     return lines, gus, gls
 
 
-def einstein_a_from_s(S, gu, e0, f0, Q296, iso_abundance):
+def einstein_a_from_s(S, gu, e0, f0, Q296, iso_abundance, T0=296.0):
     """A from the HITRAN intensity (lbl_data.cpp:34 einstein_a with the
-    abundance de-weighting of lbl_data.cpp:164 hitran_a)."""
-    T0 = 296.0
+    abundance de-weighting of lbl_data.cpp:164 hitran_a).  Q296 is the
+    partition function at T0 (ARTSCAT records may use T0 != 296 K)."""
     s = S / iso_abundance
     return (
         -8.0

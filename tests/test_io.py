@@ -245,3 +245,15 @@ def test_catalog_data_layer(tmp_path, monkeypatch):
     a1 = np.asarray(absorption(f, out["cat"], pf, 280.0, 5e4, vmr))
     a2 = np.asarray(absorption(f, cat_direct, pf, 280.0, 5e4, vmr))
     np.testing.assert_allclose(a1, a2, rtol=1e-12)
+
+    # legacy ARTSCAT files in the same lines/ dir route through io.artscat
+    (cat / "lines" / "O2.xml").write_text(
+        '<arts>\n<ArrayOfLineRecord version="ARTSCAT-3" nelem="1">\n'
+        '@ O2-66 6.0e+10 -100.0 1.0e-19 296.0 3.0e-21 90000.0 95000.0 '
+        '0.7 0.8 296.0 0\n'
+        '</ArrayOfLineRecord>\n</arts>\n'
+    )
+    out2 = read_catalog_data(["H2O", "N2", "O2"], q_t0={"O2-66": 215.7})
+    assert out2["cat"].n_lines == 10
+    iso_idx = np.asarray(out2["cat"].iso_idx)
+    assert iso_idx.max() == iso_idx.min() + 1  # O2-66 got a fresh iso row

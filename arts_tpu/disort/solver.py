@@ -512,14 +512,18 @@ def disort(
     # ---- phase matrices and eigenstructure per (mode, layer) ----
     Pp = jnp.einsum("lk,mki,mkj->mlij", leg_scaled, lam, lam)
     Pm = jnp.einsum("lk,mk,mki,mkj->mlij", leg_scaled, sign, lam, lam)
+    # named scopes mirror the reference's per-stage timers
+    # ("disort::rhs" etc., src/core/disort-cpp/disort.cpp:211)
     if fast_linalg and jax.default_backend() == "tpu" and N <= 16:
         from .eigen_kernel import fused_eigen
 
-        k, Ek, Gp, Gm = fused_eigen(
-            Pp, Pm, omega_p[None, :], dtau_p[None, :], mu_np, w_np
-        )
+        with jax.named_scope("disort::eigen"):
+            k, Ek, Gp, Gm = fused_eigen(
+                Pp, Pm, omega_p[None, :], dtau_p[None, :], mu_np, w_np
+            )
     else:
-        k, Gp, Gm = _eigen(Pp, Pm, omega_p, mu, w, fast_linalg)
+        with jax.named_scope("disort::eigen"):
+            k, Gp, Gm = _eigen(Pp, Pm, omega_p, mu, w, fast_linalg)
         Ek = jnp.exp(-k * dtau_p[None, :, None])  # [M,L,N]
 
     c = 0.5 * omega_p
@@ -672,10 +676,11 @@ def disort(
         # per-step compute is ~1% of the step wall time).  Structured
         # half-block form: the off-diagonal blocks are half-zero at every
         # CR level, so only [N, 2N] halves are stored and multiplied.
-        Lt, Adiag, Ub = _assemble_bvp_halves(Gp, Gm, Ek, Rsurf_m)
-        X = solve_block_tridiag_cr_structured(
-            Lt, Adiag, Ub, jnp.moveaxis(rhs, 1, 0), fast_linalg
-        )  # [L, M, 2N]
+        with jax.named_scope("disort::bvp"):
+            Lt, Adiag, Ub = _assemble_bvp_halves(Gp, Gm, Ek, Rsurf_m)
+            X = solve_block_tridiag_cr_structured(
+                Lt, Adiag, Ub, jnp.moveaxis(rhs, 1, 0), fast_linalg
+            )  # [L, M, 2N]
     else:
         # scan over layers with in-scan block assembly (see
         # _solve_block_tridiag_structured: streams Gp/Gm/Ek instead of

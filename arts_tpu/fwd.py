@@ -131,9 +131,11 @@ def simulate_clearsky(
             a = a + ecs_absorption(fg, band, scene.pf, iidx, t, p, v[sidx], irat)
         return a
 
-    k = jax.vmap(point_abs)(pts.t, pts.p, pts.vmr, dshift)  # [np, F]
+    with jax.named_scope("propmat"):  # ARTS_TIME_REPORT scope parity
+        k = jax.vmap(point_abs)(pts.t, pts.p, pts.vmr, dshift)  # [np, F]
 
-    J = planck(f_grid[None, :], pts.t[:, None])  # [np, F]
+    with jax.named_scope("srcvec"):
+        J = planck(f_grid[None, :], pts.t[:, None])  # [np, F]
 
     if scene.nlte is not None:
         # NLTE band: per-line populations add absorption to K and an
@@ -184,7 +186,8 @@ def simulate_clearsky(
         check_option(PathBackground, background)
         I0 = cmb
 
-    return _emission_fn(rte_option)(k, J, r, I0)
+    with jax.named_scope("rte_emission"):
+        return _emission_fn(rte_option)(k, J, r, I0)
 
 
 def simulate_clearsky_bt(scene, f_grid, path_alt, path_dr, background="space"):

@@ -120,7 +120,8 @@ def gas_absorption_profile(scene: AllskyScene, f_grid, block: int = 256,
             a = a + predefined_absorption(scene.predef, f_grid, t, p, vmrs)
         return a
 
-    return jnp.moveaxis(jax.vmap(gas_abs)(pts.t, pts.p, pts.vmr), 0, 1)
+    with jax.named_scope("propmat"):  # ARTS_TIME_REPORT scope parity
+        return jnp.moveaxis(jax.vmap(gas_abs)(pts.t, pts.p, pts.vmr), 0, 1)
 
 
 @functools.partial(

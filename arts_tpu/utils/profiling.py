@@ -70,3 +70,39 @@ class ThroughputMeter:
     def rate(self):
         dt = time.perf_counter() - self.t0
         return self.points / dt if dt > 0 else 0.0
+
+def measured_sweep(
+    fn, f_grid, chunk: int, log=None, meter: ThroughputMeter | None = None
+):
+    """Run a frequency sweep in chunks with the points/s meter wired in.
+
+    fn(f_chunk) -> pytree of arrays with leading frequency axis; results
+    are concatenated on axis 0.  After each chunk the meter advances by
+    the chunk size and, if ``log`` is given (e.g. ``print`` or a
+    logger.info), emits a structured progress line — the spectral-points/s
+    observability the reference lacks (its OEM prints iteration progress
+    only, m_oem.cc:185-190).  Returns (result, meter).
+    """
+    import jax.numpy as jnp
+
+    meter = meter or ThroughputMeter()
+    n = f_grid.shape[0]
+    outs = []
+    for i0 in range(0, n, chunk):
+        fc = f_grid[i0 : i0 + chunk]
+        with scope("sweep_chunk"):
+            out = fn(fc)
+            for leaf in jax.tree_util.tree_leaves(out):
+                if hasattr(leaf, "block_until_ready"):
+                    leaf.block_until_ready()
+        outs.append(out)
+        meter.add(fc.shape[0])
+        if log is not None:
+            log(
+                f"sweep {min(i0 + chunk, n)}/{n} freqs "
+                f"({meter.rate:.1f} points/s)"
+            )
+    res = jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs, axis=0), *outs
+    )
+    return res, meter

@@ -248,3 +248,21 @@ def test_hybrid_mesh_and_distributed_helpers():
     assert m.devices.shape == (2, 4)
     m2 = make_mesh(n_obs=2, n_freq=4)
     assert (m.devices == m2.devices).all()
+
+
+def test_measured_sweep_throughput_meter():
+    """measured_sweep chunks a spectrum, wires the points/s meter, and
+    concatenates results identically to the unchunked run."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from arts_tpu.utils.profiling import measured_sweep
+
+    f = jnp.linspace(1.0, 10.0, 37)
+    fn = lambda fc: {"a": fc * 2.0, "b": jnp.stack([fc, fc**2], -1)}
+    logs = []
+    out, meter = measured_sweep(fn, f, chunk=10, log=logs.append)
+    assert meter.points == 37 and meter.rate > 0
+    assert len(logs) == 4 and "points/s" in logs[0]
+    np.testing.assert_allclose(np.asarray(out["a"]), np.asarray(f) * 2.0)
+    assert out["b"].shape == (37, 2)

@@ -312,7 +312,7 @@ def solve_block_tridiag_cr_structured(Lt, D, Ub, rhs, fast_linalg=True):
     its bottom rows zero because Le's are zero, and symmetrically for the
     super-diagonal.  So every level stores and multiplies only the [N,2N]
     halves — half the HBM traffic and ~40% fewer flops than the dense CR
-    (solve_block_tridiag_cr), with bitwise-identical math.  Also exploits
+    (solve_block_tridiag_cr), algebraically identical.  Also exploits
     [E_A | E_B] = I: the per-level solve is against [I | r] (width 2N+1)
     instead of [L | U | r] (width 4N+1).
 

@@ -182,6 +182,15 @@ def parse_value(el, binc=None):
             diameter_volume_equ=vals[5],
             diameter_area_equ_aerodynamical=vals[6],
         )
+    if tag == "PartitionFunctionsData":
+        # src/partfun/xml_io_partfun.cc: type attribute + Matrix payload
+        # (Interp: [n, 2] (T, Q) rows; Coeff: [n, 1] polynomial
+        # coefficients; StaticInterp: equidistant grid)
+        kids = list(el)
+        return dict(
+            type=el.attrib.get("type", "Interp"),
+            data=parse_value(kids[0], binc),
+        )
     if tag == "Map":
         kids = list(el)
         out = {}

@@ -167,3 +167,31 @@ def read_catalog_data(
         cia=cias,
         tags=to_abs_species(species),
     )
+
+
+def read_partfun_data(isotopologues, t_grid=None):
+    """Build a PartFunTable from the cache dir's TIPS tables.
+
+    Searches partition-functions/<Isotopologue>.xml under the data search
+    paths (the layout the reference's src/partfun/CMakeLists.txt:10
+    compiles in at build time — here ingested at runtime).  isotopologues:
+    ordered tags defining iso_idx (pass io.hitran.iso_index_of_lines
+    order).  Returns (PartFunTable, {tag: iso_idx}); raises
+    FileNotFoundError listing any missing tables.
+    """
+    from ..lbl.partfun import table_from_xml
+
+    files = {}
+    missing = []
+    for tag in isotopologues:
+        p = find_xml(f"partition-functions/{tag}")
+        if p is None:
+            missing.append(tag)
+        else:
+            files[tag] = str(p)
+    if missing:
+        raise FileNotFoundError(
+            f"no partition-functions/<iso>.xml for {missing} under the "
+            "data search paths (arts-cat-data layout)"
+        )
+    return table_from_xml(files, t_grid=t_grid)

@@ -257,3 +257,73 @@ def test_catalog_data_layer(tmp_path, monkeypatch):
     assert out2["cat"].n_lines == 10
     iso_idx = np.asarray(out2["cat"].iso_idx)
     assert iso_idx.max() == iso_idx.min() + 1  # O2-66 got a fresh iso row
+
+
+def test_partfun_from_xml(tmp_path):
+    """PartitionFunctionsData XML (TIPS layout) -> PartFunTable: Interp
+    rows with the reference's clamped-interval linear extrapolation, and
+    Coeff polynomials (xml_io_partfun.cc, make_auto_partfuns.cc)."""
+    from arts_tpu.lbl.partfun import table_from_xml
+
+    interp = "\n".join(
+        f"{t:.1f} {2.0 * t + 5.0:.6f}" for t in np.arange(100.0, 301.0, 50.0)
+    )
+    (tmp_path / "H2O-161.xml").write_text(
+        '<arts version="1" format="ascii">\n'
+        '<PartitionFunctionsData type="Interp">\n'
+        f'<Matrix nrows="5" ncols="2">\n{interp}\n</Matrix>\n'
+        "</PartitionFunctionsData>\n</arts>\n"
+    )
+    (tmp_path / "O2-66.xml").write_text(
+        '<arts version="1" format="ascii">\n'
+        '<PartitionFunctionsData type="Coeff">\n'
+        '<Matrix nrows="3" ncols="1">\n1.0\n0.5\n0.01\n</Matrix>\n'
+        "</PartitionFunctionsData>\n</arts>\n"
+    )
+    pf, iso_map = table_from_xml(
+        {
+            "H2O-161": str(tmp_path / "H2O-161.xml"),
+            "O2-66": str(tmp_path / "O2-66.xml"),
+        }
+    )
+    assert iso_map == {"H2O-161": 0, "O2-66": 1}
+    # linear data reproduced exactly, including linear extrapolation at
+    # the table-edge clamp (reference form) — but only within t_grid
+    for T in (100.0, 137.5, 296.0, 300.0):
+        np.testing.assert_allclose(
+            float(pf.Q(jnp.asarray(T), 0)), 2.0 * T + 5.0, rtol=1e-12
+        )
+    for T in (120.0, 250.0):
+        np.testing.assert_allclose(
+            float(pf.Q(jnp.asarray(T), 1)), 1.0 + 0.5 * T + 0.01 * T * T,
+            rtol=1e-6,
+        )
+    # differentiable: dQ/dT of the linear H2O table is 2
+    import jax
+
+    g = jax.grad(lambda t: pf.Q(t, 0))(jnp.asarray(200.0))
+    np.testing.assert_allclose(float(g), 2.0, rtol=1e-9)
+
+
+def test_partfun_data_layer(tmp_path, monkeypatch):
+    """read_partfun_data resolves partition-functions/<iso>.xml from the
+    cache layout and orders iso rows as requested."""
+    from arts_tpu.io.data import read_partfun_data
+
+    cat = tmp_path / "arts-cat-data-2.6"
+    d = cat / "partition-functions"
+    d.mkdir(parents=True)
+    (d / "H2O-161.xml").write_text(
+        '<arts><PartitionFunctionsData type="Interp">\n'
+        '<Matrix nrows="2" ncols="2">\n100.0 100.0\n300.0 300.0\n</Matrix>\n'
+        "</PartitionFunctionsData></arts>\n"
+    )
+    monkeypatch.setenv("ARTS_CAT_DATA_DIR", str(cat))
+    monkeypatch.delenv("ARTS_DATA_PATH", raising=False)
+    pf, iso_map = read_partfun_data(["H2O-161"])
+    assert iso_map == {"H2O-161": 0}
+    np.testing.assert_allclose(float(pf.Q(jnp.asarray(216.0), 0)), 216.0)
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        read_partfun_data(["H2O-161", "CO2-626"])

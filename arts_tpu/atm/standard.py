@@ -76,3 +76,130 @@ def standard_atmosphere(
     zj = jnp.asarray(z)
     p = hydrostatic_pressure(zj, tj, _P0)
     return Atmosphere1D(z=zj, t=tj, p=p, vmr=jnp.asarray(vmr))
+
+
+def _profile_from_field(gf, key):
+    """(grid, values, kind): flatten a 1D-in-altitude-or-pressure
+    GriddedField dict from io.artsxml.load to a profile."""
+    grids = gf["grids"]
+    names = [str(n or "") for n in gf.get("gridnames", [])]
+    data = np.asarray(gf["data"], np.float64).reshape(-1)
+    axis0 = names[0].lower() if names else ""
+    if len(grids) == 0 or data.size != np.asarray(grids[0]).size:
+        raise ValueError(
+            f"{key}: expected a profile varying along the first grid only "
+            f"(got data size {data.size})"
+        )
+    kind = "p" if axis0.startswith("p") else "z"
+    return np.asarray(grids[0], np.float64), data, kind
+
+
+def atm_field_read(
+    basename,
+    species,
+    z_grid=None,
+    missing_is_zero=False,
+    ignore_missing=False,
+):
+    """Assemble an Atmosphere1D from an atm_fieldRead-style directory.
+
+    Parity: m_atm.cc append_data (:63-111) — files are
+    ``<basename><key>.xml`` for keys t, p and each species name, each a
+    GriddedField profile; ``missing_is_zero``/``ignore_missing`` mirror
+    the reference flags (missing species become zero-VMR rows or are
+    dropped).  Supports altitude-gridded profiles directly and
+    pressure-gridded (AFGL-style) profiles when a ``z.xml`` altitude
+    field accompanies them (interpolation in log-p).  z_grid: optional
+    target altitude grid; default = the t profile's grid.
+    """
+    import os
+
+    from ..io.artsxml import load
+
+    base = str(basename)
+    if os.path.isdir(base) and not base.endswith(os.sep):
+        base = base + os.sep
+
+    def read_key(key, required=True):
+        path = f"{base}{key}.xml"
+        if not os.path.exists(path):
+            if os.path.exists(path + ".gz"):
+                path = path + ".gz"
+            elif required:
+                raise FileNotFoundError(path)
+            else:
+                return None
+        return _profile_from_field(load(path), key)
+
+    gt = read_key("t")
+    gp = read_key("p", required=False)
+    gz = read_key("z", required=False)
+
+    if gt[2] == "p":
+        # pressure-gridded (AFGL layout): need geometric altitudes
+        if gz is None:
+            raise FileNotFoundError(
+                f"{base}z.xml needed for pressure-gridded profiles"
+            )
+        p_axis = gt[0]
+        z_of_axis = np.interp(
+            np.log(p_axis[::-1]), np.log(gz[0][::-1]), gz[1][::-1]
+        )[::-1]
+        p_prof = p_axis
+    else:
+        z_of_axis = gt[0]
+        p_prof = gp[1] if gp is not None else None
+
+    order = np.argsort(z_of_axis)
+    z_axis = z_of_axis[order]
+    t_prof = gt[1][order]
+    if z_grid is None:
+        z_grid = z_axis
+    z_grid = np.asarray(z_grid, np.float64)
+
+    def onto(zsrc, vals, logp=False):
+        if logp:
+            return np.exp(np.interp(z_grid, zsrc, np.log(vals)))
+        return np.interp(z_grid, zsrc, vals)
+
+    t = onto(z_axis, t_prof)
+    if gt[2] == "p":
+        pj = jnp.asarray(onto(z_axis, p_prof[order], logp=True))
+    elif gp is not None:
+        # p on its own altitude grid
+        zo = np.argsort(gp[0])
+        pj = jnp.asarray(onto(gp[0][zo], gp[1][zo], logp=True))
+    else:
+        pj = hydrostatic_pressure(jnp.asarray(z_grid), jnp.asarray(t), _P0)
+
+    rows = []
+    kept = []
+    for s in species:
+        g = read_key(s, required=False)
+        if g is None:
+            if missing_is_zero:
+                rows.append(np.zeros_like(z_grid))
+                kept.append(s)
+            elif ignore_missing:
+                continue
+            else:
+                raise FileNotFoundError(f"{base}{s}.xml")
+        else:
+            zsrc, vals, kind = g
+            if kind == "p":
+                zsrc = np.interp(
+                    np.log(zsrc[::-1]), np.log(gz[0][::-1]), gz[1][::-1]
+                )[::-1]
+            o = np.argsort(zsrc)
+            rows.append(onto(zsrc[o], vals[o]))
+            kept.append(s)
+    return (
+        Atmosphere1D(
+            z=jnp.asarray(z_grid),
+            t=jnp.asarray(t),
+            p=pj,
+            vmr=jnp.asarray(np.stack(rows) if rows else
+                            np.zeros((0, z_grid.size))),
+        ),
+        tuple(kept),
+    )

@@ -327,3 +327,48 @@ def test_partfun_data_layer(tmp_path, monkeypatch):
 
     with _pytest.raises(FileNotFoundError):
         read_partfun_data(["H2O-161", "CO2-626"])
+
+
+def test_atm_field_read_dir(tmp_path):
+    """atm_fieldRead-style directory ingestion: altitude-gridded t/p plus
+    species profiles, missing_is_zero semantics (m_atm.cc append_data)."""
+    from arts_tpu.atm.standard import atm_field_read
+
+    z = np.linspace(0.0, 50e3, 26)
+
+    def gf(vals, gridname="Altitude"):
+        rows = "\n".join(f"{v:.14e}" for v in vals)
+        zs = "\n".join(f"{x:.1f}" for x in z)
+        return (
+            '<arts><GriddedField N="1">\n<String>"x"</String>\n'
+            f'<String>"{gridname}"</String>\n'
+            f'<Vector nelem="{len(z)}">\n{zs}\n</Vector>\n'
+            f'<Vector nelem="{len(vals)}">\n{rows}\n</Vector>\n'
+            "</GriddedField></arts>\n"
+        )
+
+    t = 280.0 - 4e-3 * z
+    p = 1e5 * np.exp(-z / 8e3)
+    h2o = 1e-2 * np.exp(-z / 2e3)
+    (tmp_path / "t.xml").write_text(gf(t))
+    (tmp_path / "p.xml").write_text(gf(p))
+    (tmp_path / "H2O.xml").write_text(gf(h2o))
+
+    atm, kept = atm_field_read(
+        str(tmp_path), ["H2O", "O3"], missing_is_zero=True
+    )
+    assert kept == ("H2O", "O3")
+    np.testing.assert_allclose(np.asarray(atm.t), t, rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(atm.p), p, rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(atm.vmr[0]), h2o, rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(atm.vmr[1]), 0.0)
+    # ignore_missing drops the row instead
+    atm2, kept2 = atm_field_read(
+        str(tmp_path), ["H2O", "O3"], ignore_missing=True
+    )
+    assert kept2 == ("H2O",) and atm2.vmr.shape[0] == 1
+    # strict mode raises
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        atm_field_read(str(tmp_path), ["O3"])

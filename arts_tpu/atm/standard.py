@@ -117,6 +117,21 @@ def atm_field_read(
     from ..io.artsxml import load
 
     base = str(basename)
+    if not os.path.isdir(base) and not os.path.isdir(os.path.dirname(base)):
+        # relative basename: resolve against the data search paths
+        # (planets/Earth/afgl/tropical/ style, parameters.cc semantics)
+        try:
+            from ..io.data import search_paths
+
+            for root in search_paths():
+                cand = os.path.join(str(root), base)
+                if os.path.isdir(cand) or os.path.isdir(
+                    os.path.dirname(cand)
+                ):
+                    base = cand
+                    break
+        except Exception:
+            pass
     if os.path.isdir(base) and not base.endswith(os.sep):
         base = base + os.sep
 

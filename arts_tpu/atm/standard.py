@@ -90,8 +90,26 @@ def _profile_from_field(gf, key):
             f"{key}: expected a profile varying along the first grid only "
             f"(got data size {data.size})"
         )
-    kind = "p" if axis0.startswith("p") else "z"
-    return np.asarray(grids[0], np.float64), data, kind
+    grid0 = np.asarray(grids[0], np.float64)
+    if axis0:
+        kind = "p" if axis0.startswith("p") else "z"
+    else:
+        # no grid names: infer.  A strictly decreasing grid spanning
+        # several decades is a pressure axis (AFGL layout); an ascending
+        # one is altitude.  Anything else is ambiguous -> error, never a
+        # silently wrong atmosphere.
+        d = np.diff(grid0)
+        if grid0.size >= 2 and np.all(d < 0) and grid0[0] > 100.0 * grid0[-1]:
+            kind = "p"
+        elif grid0.size < 2 or np.all(d > 0):
+            kind = "z"
+        else:
+            raise ValueError(
+                f"{key}: grid has no name and is neither ascending "
+                "(altitude) nor decreasing over >2 decades (pressure); "
+                "name the grid 'Pressure' or 'Altitude'"
+            )
+    return grid0, data, kind
 
 
 def atm_field_read(
@@ -150,16 +168,22 @@ def atm_field_read(
     gp = read_key("p", required=False)
     gz = read_key("z", required=False)
 
-    if gt[2] == "p":
-        # pressure-gridded (AFGL layout): need geometric altitudes
+    def z_of_p(p_axis):
+        # altitudes for a pressure axis via log-p interpolation of z.xml;
+        # sort by log p explicitly (np.interp silently clamps on a
+        # non-ascending abscissa)
         if gz is None:
             raise FileNotFoundError(
                 f"{base}z.xml needed for pressure-gridded profiles"
             )
+        lp = np.log(np.asarray(gz[0], np.float64))
+        o = np.argsort(lp)
+        return np.interp(np.log(p_axis), lp[o], np.asarray(gz[1])[o])
+
+    if gt[2] == "p":
+        # pressure-gridded (AFGL layout): need geometric altitudes
         p_axis = gt[0]
-        z_of_axis = np.interp(
-            np.log(p_axis[::-1]), np.log(gz[0][::-1]), gz[1][::-1]
-        )[::-1]
+        z_of_axis = z_of_p(p_axis)
         p_prof = p_axis
     else:
         z_of_axis = gt[0]
@@ -202,9 +226,7 @@ def atm_field_read(
         else:
             zsrc, vals, kind = g
             if kind == "p":
-                zsrc = np.interp(
-                    np.log(zsrc[::-1]), np.log(gz[0][::-1]), gz[1][::-1]
-                )[::-1]
+                zsrc = z_of_p(zsrc)
             o = np.argsort(zsrc)
             rows.append(onto(zsrc[o], vals[o]))
             kept.append(s)

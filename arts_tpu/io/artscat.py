@@ -216,13 +216,13 @@ def read_artscat_split(basename, species_list, q_t0=None, **kw):
                     continue
                 seen.add(path)
                 lines.extend(
-                    read_artscat(
-                        path, species_list, q_t0=q_t0,
-                        iso_start=len(
-                            {l["isotopologue"] for l in lines}
-                        ),
-                        **kw,
-                    )
+                    read_artscat(path, species_list, q_t0=q_t0, **kw)
                 )
     lines.sort(key=lambda l: l["f0"])
+    # one uniform mapping over all files: the same isotopologue appearing
+    # in two matched files (H2O.xml and H2O-161.xml) must share one
+    # partition-function row
+    from .hitran import assign_iso_indices
+
+    assign_iso_indices(lines)
     return lines

@@ -138,13 +138,8 @@ def read_catalog_data(
             if stem in species:
                 head = f.read_text(errors="ignore")[:4096]
                 if "ArrayOfLineRecord" in head:
-                    n_iso = 1 + max(
-                        (l.get("iso_idx", -1) for l in lines), default=-1
-                    )
                     lines.extend(
-                        read_artscat(
-                            str(f), species, q_t0=q_t0, iso_start=n_iso
-                        )
+                        read_artscat(str(f), species, q_t0=q_t0)
                     )
                 else:
                     lines.extend(load_abs_bands(f, species))
@@ -152,6 +147,12 @@ def read_catalog_data(
         l["cutoff"] = min(l.get("cutoff", np.inf), cutoff)
     lines = [l for l in lines if fmin <= l["f0"] <= fmax]
     lines.sort(key=lambda l: l["f0"])
+    # uniform iso_idx over the merged multi-reader list: per-file
+    # iso_start arithmetic is order-dependent (an ARTSCAT file sorting
+    # before an AbsorptionBand file would steal partition-function row 0)
+    from .hitran import assign_iso_indices
+
+    assign_iso_indices(lines)
 
     cias = []
     for a in species:

@@ -310,6 +310,25 @@ def iso_index_of_lines(lines):
     return out
 
 
+def assign_iso_indices(lines):
+    """Reassign iso_idx uniformly by isotopologue tag (first appearance).
+
+    Multi-reader ingestion (ARTSCAT + AbsorptionBand files, split files
+    repeating an isotopologue) must not let per-file iso_start arithmetic
+    decide partition-function rows: two readers can otherwise hand the
+    same tag two different indices (or two tags the same index) depending
+    on file order.  One pass over the merged list makes the mapping a
+    pure function of the line ordering.  Returns {tag: iso_idx}.
+    """
+    ids = {}
+    for l in lines:
+        tag = l.get("isotopologue")
+        if tag is None:
+            continue
+        l["iso_idx"] = ids.setdefault(tag, len(ids))
+    return ids
+
+
 def catalog_from_par(
     path, species_list, q296=None, strength_option="S", cutoff=np.inf,
     fmin=0.0, fmax=np.inf, n_perturbers=2,

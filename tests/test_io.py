@@ -258,6 +258,23 @@ def test_catalog_data_layer(tmp_path, monkeypatch):
     iso_idx = np.asarray(out2["cat"].iso_idx)
     assert iso_idx.max() == iso_idx.min() + 1  # O2-66 got a fresh iso row
 
+    # order-independence of iso_idx assignment: an ARTSCAT file sorting
+    # BEFORE the AbsorptionBand file (CO2.xml < H2O-161.xml) must not let
+    # the ARTSCAT isotopologue claim the abs-band lines' row 0 (the
+    # partition-function slot collision the old iso_start arithmetic hit)
+    (cat / "lines" / "CO2.xml").write_text(
+        '<arts>\n<ArrayOfLineRecord version="ARTSCAT-3" nelem="1">\n'
+        '@ CO2-626 7.0e+10 -100.0 1.0e-19 296.0 3.0e-21 90000.0 95000.0 '
+        '0.7 0.8 296.0 0\n'
+        '</ArrayOfLineRecord>\n</arts>\n'
+    )
+    out3 = read_catalog_data(
+        ["H2O", "CO2", "O2"], q_t0={"O2-66": 215.7, "CO2-626": 286.1}
+    )
+    idx3 = np.asarray(out3["cat"].iso_idx)
+    # one distinct row per isotopologue (3 tags -> 3 rows, no sharing)
+    assert len(set(idx3.tolist())) == 3
+
 
 def test_partfun_from_xml(tmp_path):
     """PartitionFunctionsData XML (TIPS layout) -> PartFunTable: Interp

@@ -32,16 +32,22 @@ from jax.experimental import pallas as pl
 from ..ops.eigh_jacobi import _default_sweeps, _tournament
 
 
-def _kernel(pp_ref, pm_ref, omega_ref, dtau_ref, k_ref, ek_ref, gp_ref, gm_ref,
-            *, n, sweeps, mu, w):
-    inv_w = [1.0 / wi for wi in w]
-    Fq = [np.sqrt(w[i] / mu[i]) for i in range(n)]
-    E = [np.sqrt(w[i] * mu[i]) for i in range(n)]
+def eigen_core(Pp, Pm, om, dtau, *, n, sweeps, mu, w):
+    """DISORT eigen stage on per-entry tiles (lists of equal-shape arrays).
 
-    om = omega_ref[...]
+    Pp/Pm: n x n nested lists; om/dtau: single tiles.  Returns
+    (kk[n], ek[n], Gp[n][n], Gm[n][n], H1[n][n], H2[n][n]) — H1/H2 are
+    returned so callers (the fully fused DISORT kernel) can rebuild the
+    alpha+-beta operators ApB/AmB for the particular solutions without
+    re-deriving the phase algebra.  Shared by the standalone fused_eigen
+    kernel and disort/fused_kernel.py.
+    """
+    # python floats, NOT np scalars: a np.float64 scalar is strongly
+    # typed and would upcast the f32 tile algebra under x64 mode
+    inv_w = [1.0 / wi for wi in w]
+    Fq = [float(np.sqrt(w[i] / mu[i])) for i in range(n)]
+    E = [float(np.sqrt(w[i] * mu[i])) for i in range(n)]
     c = 0.5 * om
-    Pp = [[pp_ref[i * n + j] for j in range(n)] for i in range(n)]
-    Pm = [[pm_ref[i * n + j] for j in range(n)] for i in range(n)]
 
     # H1/H2 = F (c(Pp -/+ Pm) - diag(1/w)) F
     H1 = [[None] * n for _ in range(n)]
@@ -136,11 +142,8 @@ def _kernel(pp_ref, pm_ref, omega_ref, dtau_ref, k_ref, ek_ref, gp_ref, gm_ref,
     t = jax.lax.fori_loop(0, sweeps, sweep, flat((M, V)))
     M, V = unflat(t)
 
-    dtau = dtau_ref[...]
     kk = [jnp.sqrt(jnp.maximum(M[j][j], 1e-24)) for j in range(n)]
-    for j in range(n):
-        k_ref[j] = kk[j]
-        ek_ref[j] = jnp.exp(-kk[j] * dtau)
+    ek = [jnp.exp(-kk[j] * dtau) for j in range(n)]
 
     # Y = diag(1/E) Lc V (Lc lower: sum l <= i)
     Y = [[None] * n for _ in range(n)]
@@ -153,6 +156,8 @@ def _kernel(pp_ref, pm_ref, omega_ref, dtau_ref, k_ref, ek_ref, gp_ref, gm_ref,
             Y[i][j] = ei * s
 
     # F2Y = diag(1/(mu F)) H2 diag(w/F) Y ;  D = F2Y / k ; G+- = (Y +- D)/2
+    Gp = [[None] * n for _ in range(n)]
+    Gm = [[None] * n for _ in range(n)]
     for i in range(n):
         ri = 1.0 / (mu[i] * Fq[i])
         for j in range(n):
@@ -160,8 +165,25 @@ def _kernel(pp_ref, pm_ref, omega_ref, dtau_ref, k_ref, ek_ref, gp_ref, gm_ref,
             for l in range(1, n):
                 s = s + (w[l] / Fq[l]) * H2[i][l] * Y[l][j]
             D = ri * s / kk[j]
-            gp_ref[i * n + j] = 0.5 * (Y[i][j] + D)
-            gm_ref[i * n + j] = 0.5 * (Y[i][j] - D)
+            Gp[i][j] = 0.5 * (Y[i][j] + D)
+            Gm[i][j] = 0.5 * (Y[i][j] - D)
+    return kk, ek, Gp, Gm, H1, H2
+
+
+def _kernel(pp_ref, pm_ref, omega_ref, dtau_ref, k_ref, ek_ref, gp_ref, gm_ref,
+            *, n, sweeps, mu, w):
+    Pp = [[pp_ref[i * n + j] for j in range(n)] for i in range(n)]
+    Pm = [[pm_ref[i * n + j] for j in range(n)] for i in range(n)]
+    kk, ek, Gp, Gm, _, _ = eigen_core(
+        Pp, Pm, omega_ref[...], dtau_ref[...], n=n, sweeps=sweeps, mu=mu, w=w
+    )
+    for j in range(n):
+        k_ref[j] = kk[j]
+        ek_ref[j] = ek[j]
+    for i in range(n):
+        for j in range(n):
+            gp_ref[i * n + j] = Gp[i][j]
+            gm_ref[i * n + j] = Gm[i][j]
 
 
 @functools.lru_cache(maxsize=None)

@@ -43,6 +43,10 @@ from ..ops.eigh_jacobi import eigh_jacobi
 from ..ops.smallalg import cholesky_unrolled, solve_unrolled
 from .quadrature import double_gauss, lambda_at, lambda_tables
 
+# test hook: run the fused Pallas path in interpret mode on any backend
+# (tests/test_fused_disort.py compares it against the XLA path on CPU)
+_FORCE_FUSED_INTERPRET = False
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
@@ -483,15 +487,25 @@ def disort(
     nlegc = min(nleg, nquad)
     M = int(nfourier if nfourier is not None else (nquad if mu0 > 0 else 1))
 
+    # working float dtype (integer tau inputs promote to the default
+    # float — casting quadrature nodes to an int dtype would zero them)
+    dtype = (
+        inp.tau.dtype
+        if jnp.issubdtype(inp.tau.dtype, jnp.floating)
+        else jnp.result_type(float)
+    )
     mu_np, w_np = double_gauss(N)
     lam_np, sign_np = lambda_tables(M, nlegc, N)
-    mu = jnp.asarray(mu_np)
-    w = jnp.asarray(w_np)
-    lam = jnp.asarray(lam_np)
-    sign = jnp.asarray(sign_np)
-    lam0 = jnp.asarray(lambda_at(M, nlegc, mu0) if mu0 > 0 else np.zeros((M, nlegc)))
-
-    dtype = inp.tau.dtype
+    # quadrature tables in the working dtype: a bare asarray is f64 under
+    # x64 mode and silently upcasts an f32 solve (breaking the fused
+    # kernel's dtype-uniform carries)
+    mu = jnp.asarray(mu_np, dtype)
+    w = jnp.asarray(w_np, dtype)
+    lam = jnp.asarray(lam_np, dtype)
+    sign = jnp.asarray(sign_np, dtype)
+    lam0 = jnp.asarray(
+        lambda_at(M, nlegc, mu0) if mu0 > 0 else np.zeros((M, nlegc)), dtype
+    )
     I_N = jnp.eye(N, dtype=dtype)
 
     # ---- delta-M scaling (cdisort c_disort_set:3550-3562) ----
@@ -502,35 +516,17 @@ def disort(
     dtau_p = (1.0 - wf) * inp.tau
     tau_p = jnp.concatenate([jnp.zeros((1,), dtype), jnp.cumsum(dtau_p)], 0)
     tau_u = jnp.concatenate([jnp.zeros((1,), dtype), jnp.cumsum(inp.tau)], 0)
-    ls = jnp.arange(nlegc)
+    # arange in the working dtype: an int arange times a python float
+    # promotes to f64 under x64 mode, silently upcasting the whole solve
+    # (and breaking the fused kernel's dtype-uniform carries)
+    ls = jnp.arange(nlegc, dtype=dtype)
     leg_scaled = (
         (2.0 * ls + 1.0)
         * (inp.leg[..., :nlegc] - f[:, None])
         / (1.0 - f[:, None])
     )
 
-    # ---- phase matrices and eigenstructure per (mode, layer) ----
-    Pp = jnp.einsum("lk,mki,mkj->mlij", leg_scaled, lam, lam)
-    Pm = jnp.einsum("lk,mk,mki,mkj->mlij", leg_scaled, sign, lam, lam)
-    # named scopes mirror the reference's per-stage timers
-    # ("disort::rhs" etc., src/core/disort-cpp/disort.cpp:211)
-    if fast_linalg and jax.default_backend() == "tpu" and N <= 16:
-        from .eigen_kernel import fused_eigen
-
-        with jax.named_scope("disort::eigen"):
-            k, Ek, Gp, Gm = fused_eigen(
-                Pp, Pm, omega_p[None, :], dtau_p[None, :], mu_np, w_np
-            )
-    else:
-        with jax.named_scope("disort::eigen"):
-            k, Gp, Gm = _eigen(Pp, Pm, omega_p, mu, w, fast_linalg)
-        Ek = jnp.exp(-k * dtau_p[None, :, None])  # [M,L,N]
-
-    c = 0.5 * omega_p
-    ApB = (1.0 / mu)[:, None] * (I_N - c[None, :, None, None] * (Pp - Pm) * w)
-    AmB = (1.0 / mu)[:, None] * (I_N - c[None, :, None, None] * (Pp + Pm) * w)
-
-    # ---- beam particular solution ----
+    # ---- beam source terms (shared by both solve paths) ----
     has_beam = mu0 > 0.0
     if has_beam:
         delm0 = jnp.asarray(np.where(np.arange(M) == 0, 1.0, 0.0), dtype)
@@ -538,25 +534,12 @@ def disort(
         # q+ ~ p^m(mu_i, -mu0) ; q- ~ p^m(-mu_i, -mu0) (parity via sign)
         qp = pref[..., None] * jnp.einsum("lk,mk,mki->mli", leg_scaled, sign * lam0, lam)
         qm = pref[..., None] * jnp.einsum("lk,mk,mki->mli", leg_scaled, lam0, lam)
-        Amat = jnp.einsum("...ij,...jk->...ik", ApB, AmB)
-        rhs_s = jnp.einsum("...ij,...j->...i", ApB, (qp + qm) / mu) - (
-            (qp - qm) / mu
-        ) / mu0
-        Asys = Amat - I_N / (mu0 * mu0)
-        s = (
-            solve_unrolled(Asys, rhs_s)
-            if fast_linalg
-            else jnp.linalg.solve(Asys, rhs_s[..., None])[..., 0]
-        )
-        d = -mu0 * (jnp.einsum("...ij,...j->...i", AmB, s) - (qp + qm) / mu)
-        zp = 0.5 * (s + d)
-        zm = 0.5 * (s - d)
         ebea = jnp.exp(-tau_p / mu0)  # [L+1], scaled attenuation
     else:
-        zp = zm = jnp.zeros((M, Lr, N), dtype)
+        qp = qm = jnp.zeros((M, Lr, N), dtype)
         ebea = jnp.zeros((Lr + 1,), dtype)
 
-    # ---- thermal particular solution (mode 0): (1-w')(b0 + b1 t) ----
+    # ---- thermal source coefficients (mode 0): (1-w')(b0 + b1 t) ----
     # For optically thin layers the linear-in-tau slope b1 = dB/dtau blows
     # up (dtau ~ 1e-27 in an upper atmosphere), and the particular solution
     # ~ mu*b1 cancels catastrophically against the homogeneous part.  A thin
@@ -572,27 +555,7 @@ def disort(
         thin, 0.0, (inp.b_levels[1:] - inp.b_levels[:-1]) / safe_dtau
     )
     srcf = 1.0 - omega_p
-    e_over_mu = jnp.ones((N,), dtype) / mu
-    g1 = (srcf * b1)[:, None] * e_over_mu
-    g0v = (srcf * b0)[:, None] * e_over_mu
-    _slv = (
-        solve_unrolled
-        if fast_linalg
-        else (lambda A, b: jnp.linalg.solve(A, b[..., None])[..., 0])
-    )
-    q1 = _slv(AmB[0], g1)
-    p_minus_r = 2.0 * _slv(ApB[0], q1)
-    p_plus_r = 2.0 * _slv(AmB[0], g0v)
-    p0 = 0.5 * (p_plus_r + p_minus_r)
-    r0 = 0.5 * (p_plus_r - p_minus_r)
-
     m0mask = jnp.asarray(np.arange(M) == 0, dtype)[:, None, None]
-    beam_top = ebea[None, :-1, None]
-    beam_bot = ebea[None, 1:, None]
-    up_top = m0mask * p0[None] + zp * beam_top
-    vp_top = m0mask * r0[None] + zm * beam_top
-    up_bot = m0mask * (p0 + q1 * dtau_p[:, None])[None] + zp * beam_bot
-    vp_bot = m0mask * (r0 + q1 * dtau_p[:, None])[None] + zm * beam_bot
 
     # ---- boundary conditions ----
     b_neg = m0mask[:, 0, :] * (inp.fisot + inp.b_top) * jnp.ones((M, N), dtype)
@@ -627,13 +590,92 @@ def disort(
                 * (mu0 * inp.fbeam * ebea[-1] / jnp.pi)
             )
 
+    # Mosaic rejects kernels compiled under x64 mode (even pure-f32 ones,
+    # NOTES_ROUND2), so f64 runs keep fast_linalg's pure-jnp path:
+    # Jacobi eigh + unrolled solves + structured cyclic reduction
+    use_fused = (
+        fast_linalg
+        and jax.default_backend() == "tpu"
+        and N <= 16
+        and not jax.config.jax_enable_x64
+    )
+    if use_fused or _FORCE_FUSED_INTERPRET:
+        # fully fused Pallas path: eigen + particular sources + BVP +
+        # level radiances stream through VMEM (fused_kernel.py); nothing
+        # matrix-sized round-trips HBM more than once
+        from .fused_kernel import fused_u_lvl
+
+        m0row = jnp.asarray(np.arange(M) == 0, dtype)
+        tb0 = m0row[:, None] * (srcf * b0)[None, :]
+        tb1 = m0row[:, None] * (srcf * b1)[None, :]
+        with jax.named_scope("disort::fused"):
+            u_lvl, v_lvl = fused_u_lvl(
+                leg_scaled, omega_p, dtau_p, tb0, tb1, qp, qm, ebea,
+                Rsurf_m, b_neg, rhs_surf,
+                lam=lam_np, sign=sign_np, mu=mu_np, w=w_np,
+                mu0=float(mu0), has_beam=has_beam,
+                interpret=bool(_FORCE_FUSED_INTERPRET),
+            )
+        return _disort_post(
+            inp, u_lvl, v_lvl, mu_np, w_np, mu, w, M, nquad, nleg, mu0,
+            phi0, phis, intensity_correction, has_beam, ebea, tau_u,
+        )
+
+    # ---- XLA path: eigen, particular solutions, BVP, radiances ----
+    Pp = jnp.einsum("lk,mki,mkj->mlij", leg_scaled, lam, lam)
+    Pm = jnp.einsum("lk,mk,mki,mkj->mlij", leg_scaled, sign, lam, lam)
+    # named scopes mirror the reference's per-stage timers
+    # ("disort::rhs" etc., src/core/disort-cpp/disort.cpp:211)
+    with jax.named_scope("disort::eigen"):
+        k, Gp, Gm = _eigen(Pp, Pm, omega_p, mu, w, fast_linalg)
+    Ek = jnp.exp(-k * dtau_p[None, :, None])  # [M,L,N]
+
+    c = 0.5 * omega_p
+    ApB = (1.0 / mu)[:, None] * (I_N - c[None, :, None, None] * (Pp - Pm) * w)
+    AmB = (1.0 / mu)[:, None] * (I_N - c[None, :, None, None] * (Pp + Pm) * w)
+
+    # beam particular solution (homogeneous-operator solve)
+    if has_beam:
+        Amat = jnp.einsum("...ij,...jk->...ik", ApB, AmB)
+        rhs_s = jnp.einsum("...ij,...j->...i", ApB, (qp + qm) / mu) - (
+            (qp - qm) / mu
+        ) / mu0
+        Asys = Amat - I_N / (mu0 * mu0)
+        s = (
+            solve_unrolled(Asys, rhs_s)
+            if fast_linalg
+            else jnp.linalg.solve(Asys, rhs_s[..., None])[..., 0]
+        )
+        d = -mu0 * (jnp.einsum("...ij,...j->...i", AmB, s) - (qp + qm) / mu)
+        zp = 0.5 * (s + d)
+        zm = 0.5 * (s - d)
+    else:
+        zp = zm = jnp.zeros((M, Lr, N), dtype)
+
+    # thermal particular solution (mode 0)
+    e_over_mu = jnp.ones((N,), dtype) / mu
+    g1 = (srcf * b1)[:, None] * e_over_mu
+    g0v = (srcf * b0)[:, None] * e_over_mu
+    _slv = (
+        solve_unrolled
+        if fast_linalg
+        else (lambda A, b: jnp.linalg.solve(A, b[..., None])[..., 0])
+    )
+    q1 = _slv(AmB[0], g1)
+    p_minus_r = 2.0 * _slv(ApB[0], q1)
+    p_plus_r = 2.0 * _slv(AmB[0], g0v)
+    p0 = 0.5 * (p_plus_r + p_minus_r)
+    r0 = 0.5 * (p_plus_r - p_minus_r)
+
+    beam_top = ebea[None, :-1, None]
+    beam_bot = ebea[None, 1:, None]
+    up_top = m0mask * p0[None] + zp * beam_top
+    vp_top = m0mask * r0[None] + zm * beam_top
+    up_bot = m0mask * (p0 + q1 * dtau_p[:, None])[None] + zp * beam_bot
+    vp_bot = m0mask * (r0 + q1 * dtau_p[:, None])[None] + zm * beam_bot
+
     GpE = Gp * Ek[..., None, :]
     GmE = Gm * Ek[..., None, :]
-
-    def blk(a, b, c_, d_):
-        return jnp.concatenate(
-            [jnp.concatenate([a, b], -1), jnp.concatenate([c_, d_], -1)], -2
-        )
 
     # Equation block l (2N rows) for unknowns X_l = [C+_l; C-_l]:
     #   rows A (N): l = 0 -> top BC; l >= 1 -> v-continuity at interface l
@@ -711,6 +753,18 @@ def disort(
     u_lvl = jnp.concatenate([u_top, u_bot[:, -1:]], 1)  # [M, L+1, N]
     v_lvl = jnp.concatenate([v_top, v_bot[:, -1:]], 1)
 
+    return _disort_post(
+        inp, u_lvl, v_lvl, mu_np, w_np, mu, w, M, nquad, nleg, mu0, phi0,
+        phis, intensity_correction, has_beam, ebea, tau_u,
+    )
+
+
+def _disort_post(
+    inp, u_lvl, v_lvl, mu_np, w_np, mu, w, M, nquad, nleg, mu0, phi0,
+    phis, intensity_correction, has_beam, ebea, tau_u,
+):
+    """Fluxes, azimuthally-averaged u0, and Fourier synthesis from the
+    per-mode level radiances (shared by the fused and XLA solve paths)."""
     u0 = jnp.concatenate([v_lvl[0][..., ::-1], u_lvl[0]], -1)
 
     fup = 2.0 * jnp.pi * jnp.einsum("j,j,lj->l", w, mu, u_lvl[0])
@@ -727,8 +781,11 @@ def disort(
     if phis and intensity_correction and mu0 > 0.0:
         pass  # correction applied after Fourier synthesis below
     if phis:
-        phis_arr = jnp.asarray(np.asarray(phis, dtype=np.float64) * np.pi / 180.0)
-        ms = jnp.arange(M)
+        dtype = u_lvl.dtype
+        phis_arr = jnp.asarray(
+            np.asarray(phis, dtype=np.float64) * np.pi / 180.0, dtype
+        )
+        ms = jnp.arange(M, dtype=dtype)
         cosm = jnp.cos(ms[:, None] * (np.pi / 180.0 * phi0 - phis_arr[None, :]))
         dn_all = jnp.einsum("mlj,mp->ljp", v_lvl, cosm)[..., ::-1, :]
         up_all = jnp.einsum("mlj,mp->ljp", u_lvl, cosm)

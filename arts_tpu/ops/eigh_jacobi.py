@@ -100,7 +100,13 @@ def eigh_jacobi(A, sweeps: int | None = None):
     Drop-in for jnp.linalg.eigh on small n (ascending eigenvalues).
     Dispatches to the fused Pallas kernel on TPU backends.
     """
-    if jax.default_backend() == "tpu" and A.shape[-1] <= 16:
+    # Mosaic rejects kernels traced under x64 mode (even f32 ones), so
+    # f64-on-TPU runs take the portable jnp tier
+    if (
+        jax.default_backend() == "tpu"
+        and A.shape[-1] <= 16
+        and not jax.config.jax_enable_x64
+    ):
         return eigh_jacobi_pallas(A, sweeps)
     return eigh_jacobi_soa(A, sweeps)
 

@@ -182,12 +182,16 @@ def zeeman_propmat(
     los_za_deg,
     los_aa_deg=0.0,
     block: int = 256,
+    backend: str = "xla",
 ):
     """Full polarized propagation matrix [F, 7] at one atmospheric point.
 
     Parity: lbl voigt::lte::calculate with ZeemanPolarization pi/sm/sp
     (lbl_lineshape_voigt_lte.cpp:1652) — per-polarization Voigt sums scaled
-    by the geometric polarization matrices.
+    by the geometric polarization matrices.  backend="pallas" runs all
+    three polarizations' pseudo-lines through the single polarized TPU
+    kernel (ops.voigt_kernel.voigt_sum_pol): one shared w(z) evaluation
+    feeding 7 weighted accumulator planes.
     """
     cat = zcat.cat
     ls = lineshape_params(cat, T, P, vmr)
@@ -197,8 +201,7 @@ def zeeman_propmat(
 
     scl = -f_grid * jnp.expm1(-(const.h * f_grid) / (const.k * T))
 
-    pm = jnp.zeros(f_grid.shape + (7,), dtype=f_grid.dtype)
-    for p_i, pol in enumerate(POLS):
+    def pseudo_lines(p_i):
         idx = zcat.idx[p_i]
         f0_k = f0s[idx] + H * zcat.split[p_i]
         # note: ARTS updates inv_gd with the shifted f0 (update_iz); the
@@ -213,8 +216,55 @@ def zeeman_propmat(
             * s[idx]
             * (inv_gd_k / inv_gd[idx])  # strength carries inv_gd factor
         )
+        return idx, f0_k, inv_gd_k, z_imag_k, s_k
+
+    if backend == "pallas":
+        from ..ops.voigt_kernel import voigt_sum_pol
+        from ..ops.wofz import wofz
+
+        parts = [pseudo_lines(p_i) for p_i in range(len(POLS))]
+        idx_a = jnp.concatenate([p[0] for p in parts])
+        f0_a = jnp.concatenate([p[1] for p in parts])
+        igd_a = jnp.concatenate([p[2] for p in parts])
+        zi_a = jnp.concatenate([p[3] for p in parts])
+        s_a = jnp.concatenate([p[4] for p in parts])
+        pw = jnp.concatenate(
+            [
+                jnp.broadcast_to(
+                    npm[pol][None, :], (zcat.idx[p_i].shape[0], 7)
+                )
+                for p_i, pol in enumerate(POLS)
+            ]
+        )
+        cut = cat.cutoff[idx_a]
+        has_cut = jnp.isfinite(cut)
+        cut_safe = jnp.where(has_cut, cut, 0.0)
+        wcut = jnp.where(
+            has_cut, wofz(jax.lax.complex(igd_a * cut_safe, zi_a)), 0.0
+        )
+        cut_k = jnp.where(has_cut, cut, 1e30)
+        anchor = jnp.mean(f_grid)
+        out7 = voigt_sum_pol(
+            f_grid - anchor,
+            f0_a - anchor,
+            igd_a,
+            zi_a,
+            jnp.real(s_a),
+            jnp.imag(s_a),
+            cut_k,
+            jnp.real(wcut),
+            jnp.imag(wcut),
+            pw,
+            n=16 if f_grid.dtype == jnp.float32 else 24,
+        )
+        return scl[:, None] * out7.T
+
+    pm = jnp.zeros(f_grid.shape + (7,), dtype=f_grid.dtype)
+    for p_i, pol in enumerate(POLS):
+        _, f0_k, inv_gd_k, z_imag_k, s_k = pseudo_lines(p_i)
         shape = _shape_sum(
-            f_grid, s_k, f0_k, inv_gd_k, z_imag_k, cat.cutoff[idx], block
+            f_grid, s_k, f0_k, inv_gd_k, z_imag_k, cat.cutoff[zcat.idx[p_i]],
+            block,
         )
         pm = pm + npm[pol][None, :] * (scl * jnp.real(shape))[:, None]
     return pm

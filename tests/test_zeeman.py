@@ -115,3 +115,33 @@ def test_angles():
     mats = pol_matrices(jnp.asarray(0.7), jnp.asarray(0.3))
     tot = 0.5 * mats["pi"] + 0.25 * mats["sm"] + 0.25 * mats["sp"]
     np.testing.assert_allclose(np.asarray(tot), [1, 0, 0, 0, 0, 0, 0], atol=1e-12)
+
+
+def test_pallas_pol_kernel_matches_xla():
+    """voigt_sum_pol (interpret mode) vs the XLA per-polarization path,
+    with field at an oblique angle so all 7 components are nonzero."""
+    mag = jnp.asarray([10e-6, -20e-6, 40e-6])
+    pm_x = np.asarray(
+        zeeman_propmat(F, ZCAT, PF, T, P, VMR, mag, 65.0, 30.0)
+    )
+    import arts_tpu.ops.voigt_kernel as vk
+    import functools
+
+    orig = vk.voigt_sum_pol
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig.__wrapped__(*a, **kw)
+
+    vk.voigt_sum_pol = interp
+    try:
+        pm_p = np.asarray(
+            zeeman_propmat(
+                F, ZCAT, PF, T, P, VMR, mag, 65.0, 30.0, backend="pallas"
+            )
+        )
+    finally:
+        vk.voigt_sum_pol = orig
+    scale = np.abs(pm_x).max()
+    np.testing.assert_allclose(pm_p, pm_x, atol=2e-6 * scale, rtol=2e-5)
+    assert np.abs(pm_x[:, 1:]).max() > 0  # polarized components present

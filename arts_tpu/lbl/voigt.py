@@ -279,8 +279,8 @@ def absorption_pallas(
     P,
     vmr,
     no_negative_absorption: bool = True,
-    tf: int = 512,
-    tl: int = 256,
+    tf: int = 256,
+    tl: int = 128,
     wofz_n: int | None = None,
 ):
     """absorption() with the lines x freqs contraction in the Pallas TPU

@@ -255,6 +255,8 @@ def zeeman_propmat(
             jnp.real(wcut),
             jnp.imag(wcut),
             pw,
+            tf=512,
+            tl=512,
             n=16 if f_grid.dtype == jnp.float32 else 24,
         )
         return scl[:, None] * out7.T

@@ -45,6 +45,122 @@ from .wofz import _weideman_coeffs
 _INV_SQRT_PI = 1.0 / math.sqrt(math.pi)
 _ASYM_R2 = 512.0
 
+# fast-multipole far field: blocks whose pole cluster is at least
+# _MP_KAPPA radii from a tile collapse to a _MP_TERMS-term expansion
+# (relative truncation ~ (1/kappa)^terms / (1 - 1/kappa) ~ 4e-7)
+_MP_TERMS = 12
+_MP_KAPPA = 3.5
+
+
+def _multipole_far(
+    f_flat, t_lo, t_hi, f0, igd, zi, sr, si, cutoff, swc, pw,
+    igd_min, zi_min, nl, tl,
+):
+    """Fast-multipole Lorentzian far field for the Voigt contraction.
+
+    Beyond the asymptotic gate, each line's contribution is a rational
+    function with (order 1/3/5) poles at p_l = f0_l - i G0_l (the
+    Laurent form of s w(z)); a whole block of lines then collapses to a
+    single _MP_TERMS-term expansion around the block's pole centroid:
+
+        sum_l s_l w_l(f) ~ sum_j M_j (R/(f - c))^j,
+
+    valid for |f - c| >= _MP_KAPPA R.  The expansion EVALUATION is a
+    plain masked XLA contraction over (freqs x blocks) — ~40x fewer
+    flops than the direct far tier it replaces; the kernel then visits
+    only near (tile, block) pairs.  No reference analogue: the
+    reference walks every (line, freq) pair (lbl_data.h:270).
+
+    pw: [L, C] per-line component weights (C=1 scalar, C=7 Zeeman).
+    Returns (far [nf, nl] bool, mp [nf*tf, C]).
+    """
+    dtype = f_flat.dtype
+    cdtype = jnp.complex64 if dtype == jnp.float32 else jnp.complex128
+    blk = lambda x: x.reshape(nl, tl)
+    igd_b = blk(igd)
+    igd_s = jnp.where(igd_b > 0, igd_b, 1.0)
+    G0 = blk(zi) / igd_s  # [nl, tl] Lorentz HWHM in frequency
+    f0b = blk(f0)
+    c_re = jnp.mean(f0b, axis=1)  # [nl] pole centroid
+    c_im = -jnp.mean(G0, axis=1)
+    dp = jax.lax.complex(f0b - c_re[:, None], -(G0 + c_im[:, None]))
+    R = jnp.maximum(jnp.sqrt(jnp.max(jnp.abs(dp) ** 2, axis=1)), 1.0)
+    q = dp / R[:, None].astype(cdtype)  # scaled pole offsets, |q| <= 1
+
+    # per-line pole strengths: s w ~ (i s/sqrt(pi)) sum_k c_k z^-(2k+1),
+    # z = igd (f - p)  ->  b_k = (i s/sqrt(pi)) c_k / igd^(2k+1)
+    s_c = jax.lax.complex(blk(sr), blk(si))
+    is_c = 1j * s_c * _INV_SQRT_PI
+    # scaled by R^-(2k+1) so every moment term is O(1) in f32
+    A = [
+        is_c * (_LAURENT_C[k] / (igd_s * R[:, None]) ** (2 * k + 1))
+        for k in range(3)
+    ]
+
+    # moments M_j = sum_l sum_k binom(j-1, 2k) A_kl q_l^(j-2k-1), j=1..P
+    P_ = _MP_TERMS
+    qp = [jnp.ones_like(q)]  # q^0 .. q^(P-1)
+    for _ in range(P_ - 1):
+        qp.append(qp[-1] * q)
+    pw_b = pw.reshape(nl, tl, -1).astype(dtype)  # [nl, tl, C]
+    C = pw_b.shape[-1]
+
+    def msum(x):  # weighted block sum: [nl, tl] -> [nl, C]
+        return jnp.einsum("bt,btc->bc", x, pw_b)
+
+    M = []
+    for j in range(1, P_ + 1):
+        acc = 0.0
+        for k in range(3):
+            m = j - 2 * k - 1
+            if m < 0:
+                continue
+            acc = acc + math.comb(j - 1, 2 * k) * (A[k] * qp[m])
+        M.append(msum(acc))  # [nl, C] complex
+    swc_sum = msum(blk(swc).astype(cdtype))  # [nl, C] (real-valued)
+
+    # far classification per (tile, block)
+    gap = jnp.maximum(
+        jnp.maximum(c_re[None, :] - t_hi[:, None], t_lo[:, None] - c_re[None, :]),
+        0.0,
+    )  # [nf, nl]
+    dist2 = gap * gap + (c_im * c_im)[None, :]
+    far = dist2 >= (_MP_KAPPA * R) ** 2
+    # every line's |z|^2 must clear the asymptotic gate (Laurent-3 regime)
+    gmin = igd_min[None, :] * gap
+    far &= gmin * gmin + (zi_min * zi_min)[None, :] > 2.0 * _ASYM_R2
+    # the tile must sit inside EVERY line's cutoff window (the expansion
+    # has no per-line masking; padded lines' inverted windows exclude
+    # their block automatically)
+    win_in_lo = jnp.max(f0b - blk(cutoff), axis=1)
+    win_in_hi = jnp.min(f0b + blk(cutoff), axis=1)
+    far &= (t_lo[:, None] >= win_in_lo[None, :]) & (
+        t_hi[:, None] <= win_in_hi[None, :]
+    )
+
+    # evaluation: u = R/(f - c), Horner accumulation per component with
+    # the (freqs x blocks) contraction on the MXU
+    tf = f_flat.shape[0] // t_lo.shape[0]
+    farf = jnp.repeat(far, tf, axis=0)  # [F, nl]
+    u = R[None, :].astype(cdtype) / (
+        jax.lax.complex(
+            f_flat[:, None] - c_re[None, :],
+            jnp.broadcast_to(-c_im[None, :], (f_flat.shape[0], nl)),
+        )
+    )
+    u = jnp.where(farf, u, 0.0)  # also kills padded-block NaNs
+    mp = jnp.zeros((f_flat.shape[0], C), dtype)
+    U = u
+    for j in range(P_):
+        Mc = M[j]
+        mp = mp + (
+            jnp.real(U) @ jnp.real(Mc) - jnp.imag(U) @ jnp.imag(Mc)
+        )
+        if j < P_ - 1:
+            U = U * u
+    mp = mp - farf.astype(dtype) @ jnp.real(swc_sum).astype(dtype)
+    return far, mp
+
 
 def _reciprocal(x):
     if x.dtype == jnp.float32:
@@ -299,7 +415,7 @@ def _voigt_kernel_pol(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tf", "tl", "n", "interpret")
+    jax.jit, static_argnames=("tf", "tl", "n", "interpret", "multipole")
 )
 def voigt_sum(
     f_grid,
@@ -315,12 +431,15 @@ def voigt_sum(
     tl: int = 256,
     n: int = 24,
     interpret: bool = False,
+    multipole: bool = True,
 ):
     """Re sum_l s_l (w(z_l(f)) - wcut_l) masked to |f-f0_l| <= cut_l. [F].
 
     All inputs 1D; pad lines with s = 0, cutoff = -1. Frequencies and f0
     should share a common anchor shift for f32 use. cutoff must be finite
     (use a huge value like 1e30 for 'no cutoff' with wcut = 0).
+    multipole: evaluate provably-far (tile, block) pairs by the block
+    pole expansion in XLA instead of the direct kernel tier.
     """
     F = f_grid.shape[0]
     L = f0.shape[0]
@@ -364,6 +483,13 @@ def voigt_sum(
     visit = (win_hi[None, :] >= t_lo[:, None]) & (
         win_lo[None, :] <= t_hi[:, None]
     )  # [nf, nl]
+    if multipole:
+        far, mp = _multipole_far(
+            f_grid, t_lo, t_hi, f0, inv_gd, z_imag, s_re, s_im, cutoff,
+            swc, jnp.ones((f0.shape[0], 1), dtype), igd_min, zi_min,
+            nl, tl,
+        )
+        visit = visit & ~far
     nvisit = jnp.sum(visit, axis=1).astype(jnp.int32)  # [nf]
     max_visits = nl  # static bound; dynamic counts gate the work
     order = jnp.argsort(~visit, axis=1, stable=True).astype(jnp.int32)
@@ -417,11 +543,14 @@ def voigt_sum(
         col(cutoff),
         col(swc),
     )
-    return jnp.sum(out, axis=0)[:F]
+    total = jnp.sum(out, axis=0)
+    if multipole:
+        total = total + mp[:, 0]
+    return total[:F]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tf", "tl", "n", "interpret")
+    jax.jit, static_argnames=("tf", "tl", "n", "interpret", "multipole")
 )
 def voigt_sum_pol(
     f_grid,
@@ -438,6 +567,7 @@ def voigt_sum_pol(
     tl: int = 256,
     n: int = 24,
     interpret: bool = False,
+    multipole: bool = True,
 ):
     """Polarized Voigt contraction: [7, F] with
     out[c] = sum_l pw[l, c] Re(s_l (w(z_l) - wcut_l)) inside the window.
@@ -487,6 +617,12 @@ def voigt_sum_pol(
     visit = (win_hi[None, :] >= t_lo[:, None]) & (
         win_lo[None, :] <= t_hi[:, None]
     )
+    if multipole:
+        far, mp = _multipole_far(
+            f_grid, t_lo, t_hi, f0, inv_gd, z_imag, s_re, s_im, cutoff,
+            swc, pw, igd_min, zi_min, nl, tl,
+        )
+        visit = visit & ~far
     nvisit = jnp.sum(visit, axis=1).astype(jnp.int32)
     max_visits = nl
     order = jnp.argsort(~visit, axis=1, stable=True).astype(jnp.int32)
@@ -547,4 +683,7 @@ def voigt_sum_pol(
         col(swc),
         pw8,
     )
-    return out[:7, :F]
+    total = out[:7]
+    if multipole:
+        total = total + mp.T[:7]
+    return total[:, :F]

@@ -75,7 +75,12 @@ def toa_nadir_bt(out):
 def test_clearsky_golden_brightness_temperatures():
     out = simulate_allsky(scene(0.0), F_GRID, nquad=40, nleg=40, nfourier=1)
     bt = toa_nadir_bt(out)
+    # ARTS 2.6 goldens; measured max deviation 0.424 K at 165 GHz
+    # (robust to discretization — physics-level per the verify notes, the
+    # PWR98 H2O line list's 165-GHz wing vs the reference's full catalog);
+    # asserted with ~0.08 K headroom.
     np.testing.assert_allclose(bt, GOLD_CLEAR, atol=0.5)
+    assert np.abs(bt - np.asarray(GOLD_CLEAR)).max() < 0.45
 
 
 def test_cloudy_golden_brightness_temperatures():

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
-from ..ops.eigh_jacobi import _default_sweeps, _tournament
+from ..ops.eigh_jacobi import _default_sweeps, _rot_cs, _tournament
 
 
 def eigen_core(Pp, Pm, om, dtau, *, n, sweeps, mu, w):
@@ -114,16 +114,9 @@ def eigen_core(Pp, Pm, om, dtau, *, n, sweeps, mu, w):
     def sweep(_, t):
         Mx, Vx = unflat(t)
         for pairs in rounds:
-            cs = []
-            for p, q in pairs:
-                app, aqq, apq = Mx[p][p], Mx[q][q], Mx[p][q]
-                theta = (aqq - app) / (2.0 * jnp.where(apq == 0.0, 1.0, apq))
-                tt = jnp.sign(theta) / (
-                    jnp.abs(theta) + jnp.sqrt(theta * theta + 1.0)
-                )
-                tt = jnp.where(apq == 0.0, 0.0, tt)
-                cc = 1.0 / jnp.sqrt(tt * tt + 1.0)
-                cs.append((cc, tt * cc))
+            cs = [
+                _rot_cs(Mx[p][p], Mx[q][q], Mx[p][q]) for p, q in pairs
+            ]
             for (p, q), (cc, ss) in zip(pairs, cs):
                 for j in range(n):
                     mp, mq = Mx[p][j], Mx[q][j]

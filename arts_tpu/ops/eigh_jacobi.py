@@ -54,18 +54,29 @@ def _tournament(n: int):
     return rounds
 
 
+def _rot_cs(app, aqq, apq):
+    """(c, s) of the Jacobi rotation zeroing apq, division-safe.
+
+    Algebraically identical to the textbook
+    t = sign(theta)/(|theta| + sqrt(theta^2 + 1)), theta = d/(2 apq),
+    but NEVER divides by apq:
+        t = 2 apq sign(d) / (|d| + sqrt(d^2 + 4 apq^2)),  d = aqq - app.
+    The old exact-zero guard on apq produced NaN under the TPU x64
+    rewriter's double-double f64 emulation, where a subnormal apq
+    compares nonzero while 2*apq flushes to zero (theta = d/0 with
+    d also flushed -> 0/0); found by the on-chip f64 DISORT probe.
+    """
+    d = aqq - app
+    denom = jnp.abs(d) + jnp.sqrt(d * d + 4.0 * apq * apq)
+    safe = jnp.where(denom > 0.0, denom, 1.0)
+    t = jnp.where(denom > 0.0, 2.0 * apq * jnp.sign(d) / safe, 0.0)
+    c = 1.0 / jnp.sqrt(t * t + 1.0)
+    return c, t * c
+
+
 def _rotation_angles(M, pairs):
     """(c, s) per pair from the current [n, n, B] matrix."""
-    cs = []
-    for p, q in pairs:
-        app, aqq, apq = M[p, p], M[q, q], M[p, q]
-        # stable rotation: t = sign(theta)/(|theta| + sqrt(theta^2 + 1))
-        theta = (aqq - app) / (2.0 * jnp.where(apq == 0.0, 1.0, apq))
-        t = jnp.sign(theta) / (jnp.abs(theta) + jnp.sqrt(theta * theta + 1.0))
-        t = jnp.where(apq == 0.0, 0.0, t)
-        c = 1.0 / jnp.sqrt(t * t + 1.0)
-        cs.append((c, t * c))
-    return cs
+    return [_rot_cs(M[p, p], M[q, q], M[p, q]) for p, q in pairs]
 
 
 def _jacobi_round(M, V, pairs):
@@ -165,16 +176,7 @@ def _jacobi_kernel(a_ref, w_ref, v_ref, *, n, sweeps):
     def sweep(_, t):
         M, V = unflat(t)
         for pairs in rounds:
-            cs = []
-            for p, q in pairs:
-                app, aqq, apq = M[p][p], M[q][q], M[p][q]
-                theta = (aqq - app) / (2.0 * jnp.where(apq == 0.0, 1.0, apq))
-                tt = jnp.sign(theta) / (
-                    jnp.abs(theta) + jnp.sqrt(theta * theta + 1.0)
-                )
-                tt = jnp.where(apq == 0.0, 0.0, tt)
-                c = 1.0 / jnp.sqrt(tt * tt + 1.0)
-                cs.append((c, tt * c))
+            cs = [_rot_cs(M[p][p], M[q][q], M[p][q]) for p, q in pairs]
             for (p, q), (c, s) in zip(pairs, cs):
                 for j in range(n):
                     mp, mq = M[p][j], M[q][j]

@@ -41,6 +41,7 @@ def _run(name, nfourier=None):
         "hg_beam",            # solar beam, HG phase, 16 Fourier modes
         "thermal_beam_albedo",  # beam + thermal + Lambertian albedo
         "iso_isotropic_top",  # isotropic top illumination
+        "hapke_beam",         # BRDF surface through the Rsurf/rhs inputs
     ],
 )
 def test_fused_matches_xla(name, force_fused, monkeypatch):

@@ -269,6 +269,8 @@ def main():
         extras["lbl_f64_pts_per_s"] = vals["lbl"]
         if "pipeline" in vals:
             extras["pipeline_f64_pts_per_s"] = vals["pipeline"]
+        if "pipeline_shape" in vals:
+            extras["pipeline_f64_shape"] = vals["pipeline_shape"]
         if "pipeline_error" in vals:
             extras["pipeline_f64_error"] = vals["pipeline_error"]
         extras["lbl_f64_backend"] = "xla"
@@ -382,9 +384,14 @@ def f64_probe():
     try:
         # full pipeline at f64: Mosaic kernels are rejected under x64
         # mode, so fast_linalg=True resolves to the pure-jnp fast path
-        # (Jacobi eigh + unrolled solves + structured cyclic reduction)
+        # (Jacobi eigh + unrolled solves + structured cyclic reduction).
+        # The x64 rewriter cannot compile the CR graph at the full
+        # 4096-freq extent (tpu_compile_helper exit 1), so the f64
+        # pipeline is measured at 1024 freqs and labeled as such.
+        fp = f_grid[::4]
+
         def run(i):
-            fg = f_grid + jnp.float64(i)
+            fg = fp + jnp.float64(i)
             k_gas = gas_absorption_profile(scene, fg, backend="xla_realpair")
             return simulate_allsky(
                 scene, fg, nquad=16, nfourier=1, backend="xla_realpair",
@@ -392,7 +399,8 @@ def f64_probe():
             ).flux_up
 
         dt_pipe = _timeit(run, iters=2)
-        out["pipeline"] = f_grid.shape[0] / dt_pipe
+        out["pipeline"] = fp.shape[0] / dt_pipe
+        out["pipeline_shape"] = f"{fp.shape[0]} freqs"
     except Exception as e:
         out["pipeline_error"] = str(e)[:160]
     print(json.dumps(out))

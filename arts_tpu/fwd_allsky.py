@@ -87,15 +87,18 @@ def _scatterer_profiles(sc, f_grid, z, t, nleg):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block", "backend")
+    jax.jit, static_argnames=("block", "backend", "lbl_tuning")
 )
 def gas_absorption_profile(scene: AllskyScene, f_grid, block: int = 256,
-                           backend: str = "xla"):
+                           backend: str = "xla",
+                           lbl_tuning: tuple | None = None):
     """Gas absorption on the scene's levels, TOA-first: [F, Z].
 
     Separate jit so huge pipelines can compile absorption and the DISORT
     solve independently (the fused whole-pipeline XLA compile grows
-    superlinearly)."""
+    superlinearly).  lbl_tuning: optional static
+    (tf, tl, max_visits, mp_terms, mp_kappa) for the pallas backend, from
+    lbl.voigt.tune_lbl_kernel on the concrete scene."""
     z = scene.atm.z[::-1]
     pts = scene.atm.at(z)
 
@@ -105,7 +108,15 @@ def gas_absorption_profile(scene: AllskyScene, f_grid, block: int = 256,
             if backend == "pallas":
                 from .lbl.voigt import absorption_pallas
 
-                a = a + absorption_pallas(f_grid, scene.cat, scene.pf, t, p, v)
+                tune = {}
+                if lbl_tuning is not None:
+                    tune = dict(
+                        zip(("tf", "tl", "max_visits", "mp_terms",
+                             "mp_kappa", "nsub"), lbl_tuning)
+                    )
+                a = a + absorption_pallas(
+                    f_grid, scene.cat, scene.pf, t, p, v, **tune
+                )
             else:
                 # "xla_realpair": identical math, no complex dtypes — the
                 # only LBL formulation the TPU x64 rewriter can compile

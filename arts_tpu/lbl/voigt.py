@@ -269,7 +269,11 @@ def absorption(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("no_negative_absorption", "tf", "tl", "wofz_n")
+    jax.jit,
+    static_argnames=(
+        "no_negative_absorption", "tf", "tl", "wofz_n", "max_visits",
+        "mp_terms", "mp_kappa", "nsub",
+    ),
 )
 def absorption_pallas(
     f_grid,
@@ -282,10 +286,16 @@ def absorption_pallas(
     tf: int = 256,
     tl: int = 128,
     wofz_n: int | None = None,
+    max_visits: int | None = None,
+    mp_terms: int = 12,
+    mp_kappa: float = 3.5,
+    nsub: int = 1,
 ):
     """absorption() with the lines x freqs contraction in the Pallas TPU
     kernel (ops/voigt_kernel.py). Identical math; tiled VMEM execution with
-    cutoff-window block skipping."""
+    cutoff-window block skipping.  max_visits (static) should come from
+    ops.voigt_kernel.voigt_visit_bound on concrete scene inputs when tl is
+    small — see tune_lbl_kernel."""
     from ..ops.voigt_kernel import voigt_sum
 
     if wofz_n is None:
@@ -318,6 +328,10 @@ def absorption_pallas(
         tf=tf,
         tl=tl,
         n=wofz_n,
+        max_visits=max_visits,
+        mp_terms=mp_terms,
+        mp_kappa=mp_kappa,
+        nsub=nsub,
     )
 
     scl = -f_grid * jnp.expm1(-(const.h * f_grid) / (const.k * T))
@@ -325,3 +339,53 @@ def absorption_pallas(
     if no_negative_absorption:
         alpha = jnp.maximum(alpha, 0.0)
     return alpha
+
+
+def tune_lbl_kernel(
+    f_grid, cat: LineCatalog, pf: PartFunTable, T, P, vmr,
+    tf: int = 512, tl: int = 32,
+    mp_terms: int = 12, mp_kappa: float = 3.5, slack: int = 2,
+    nsub: int = 1,
+):
+    """Concrete-input (outside-jit) tuner: exact static max_visits for
+    absorption_pallas over a set of atmospheric points.
+
+    With fine line blocks (tl 32-64) the multipole far field swallows most
+    in-window (tile, block) pairs, but the pallas grid's static visit axis
+    must then be bounded tightly or skipped-slot dispatch dominates.  This
+    evaluates the kernels' own classification per level and returns
+    dict(tf=, tl=, max_visits=, mp_terms=, mp_kappa=) to splat into
+    absorption_pallas.  T/P/vmr: [Z]/[Z]/[Z, S] concrete arrays.
+    """
+    import numpy as np
+
+    from ..ops.voigt_kernel import voigt_visit_bound
+
+    # all eager math on CPU copies (axon TPU eager path lacks host ops)
+    cat = jax.tree_util.tree_map(np.asarray, cat)
+    pf = jax.tree_util.tree_map(np.asarray, pf)
+    T = np.asarray(T)
+    P = np.asarray(P)
+    vmr = np.asarray(vmr)
+    anchor = float(np.asarray(f_grid).mean())
+    bound = 0
+    cut_k = np.where(np.isfinite(cat.cutoff), cat.cutoff, 1e30)
+    with jax.default_device(jax.devices("cpu")[0]):
+        for z in range(T.shape[0]):
+            ls = lineshape_params(cat, T[z], P[z], vmr[z])
+            _, f0s, inv_gd, z_imag = line_strengths(
+                cat, pf, T[z], P[z], vmr[z], ls
+            )
+            bound = max(
+                bound,
+                voigt_visit_bound(
+                    np.asarray(f_grid) - anchor, np.asarray(f0s) - anchor,
+                    np.asarray(inv_gd), np.asarray(z_imag), cut_k,
+                    tf=tf, tl=tl, mp_terms=mp_terms, mp_kappa=mp_kappa,
+                    nsub=nsub,
+                ),
+            )
+    return dict(
+        tf=tf, tl=tl, max_visits=bound + slack,
+        mp_terms=mp_terms, mp_kappa=mp_kappa, nsub=nsub,
+    )

@@ -22,6 +22,7 @@ replaced by autodiff through the angle formulas.
 """
 
 import dataclasses
+import functools
 import math
 
 import jax
@@ -183,6 +184,7 @@ def zeeman_propmat(
     los_aa_deg=0.0,
     block: int = 256,
     backend: str = "xla",
+    tuning: tuple | None = None,
 ):
     """Full polarized propagation matrix [F, 7] at one atmospheric point.
 
@@ -244,6 +246,12 @@ def zeeman_propmat(
         )
         cut_k = jnp.where(has_cut, cut, 1e30)
         anchor = jnp.mean(f_grid)
+        tune = dict(tf=512, tl=512)
+        if tuning is not None:
+            tune = dict(
+                zip(("tf", "tl", "max_visits", "mp_terms", "mp_kappa",
+                     "nsub"), tuning)
+            )
         out7 = voigt_sum_pol(
             f_grid - anchor,
             f0_a - anchor,
@@ -255,9 +263,8 @@ def zeeman_propmat(
             jnp.real(wcut),
             jnp.imag(wcut),
             pw,
-            tf=512,
-            tl=512,
             n=16 if f_grid.dtype == jnp.float32 else 24,
+            **tune,
         )
         return scl[:, None] * out7.T
 
@@ -270,3 +277,250 @@ def zeeman_propmat(
         )
         pm = pm + npm[pol][None, :] * (scl * jnp.real(shape))[:, None]
     return pm
+
+
+def tune_zeeman_kernel(
+    f_grid, zcat: ZeemanCatalog, pf, T, P, vmr, mag,
+    tf: int = 512, tl: int = 512,
+    mp_terms: int = 12, mp_kappa: float = 3.5, slack: int = 2,
+    nsub: int = 1,
+):
+    """Concrete-input (outside-jit) tuner for zeeman_propmat's pallas
+    backend: exact static max_visits over a set of atmospheric points,
+    mirroring the pseudo-line construction eagerly on CPU.
+
+    Returns (tf, tl, max_visits, mp_terms, mp_kappa, nsub) for the
+    ``tuning`` argument.  Zeeman pseudo-lines of one parent spread only
+    ~MHz, so small tl makes the multipole collapse nearly the whole
+    cutoff window — max_visits then shrinks from nl to a few dozen.
+    """
+    import numpy as np
+
+    from ..ops.voigt_kernel import voigt_visit_bound
+
+    cat = jax.tree_util.tree_map(np.asarray, zcat.cat)
+    zsplit = [np.asarray(s) for s in zcat.split]
+    zidx = [np.asarray(i) for i in zcat.idx]
+    pf = jax.tree_util.tree_map(np.asarray, pf)
+    T = np.asarray(T)
+    P = np.asarray(P)
+    vmr = np.asarray(vmr)
+    H = float(np.sqrt(np.sum(np.asarray(mag) ** 2)))
+    anchor = float(np.asarray(f_grid).mean())
+    bound = 0
+    with jax.default_device(jax.devices("cpu")[0]):
+        for z in range(T.shape[0]):
+            ls = lineshape_params(cat, T[z], P[z], vmr[z])
+            _, f0s, inv_gd, z_imag = line_strengths(
+                cat, pf, T[z], P[z], vmr[z], ls
+            )
+            f0s = np.asarray(f0s)
+            G0 = np.asarray(ls[:, 0])
+            f0_a, igd_a, zi_a, cut_a = [], [], [], []
+            for p_i in range(len(POLS)):
+                idx = zidx[p_i]
+                f0_k = f0s[idx] + H * zsplit[p_i]
+                gd_part = np.sqrt(
+                    const.doppler_broadening_const_squared
+                    * T[z] / np.asarray(cat.iso_mass)[idx]
+                )
+                igd_k = 1.0 / (gd_part * f0_k)
+                f0_a.append(f0_k)
+                igd_a.append(igd_k)
+                zi_a.append(G0[idx] * igd_k)
+                cut_a.append(np.asarray(cat.cutoff)[idx])
+            f0_a = np.concatenate(f0_a)
+            igd_a = np.concatenate(igd_a)
+            zi_a = np.concatenate(zi_a)
+            cut_a = np.where(
+                np.isfinite(np.concatenate(cut_a)),
+                np.concatenate(cut_a), 1e30,
+            )
+            bound = max(
+                bound,
+                voigt_visit_bound(
+                    np.asarray(f_grid) - anchor, f0_a - anchor, igd_a,
+                    zi_a, cut_a, tf=tf, tl=tl,
+                    mp_terms=mp_terms, mp_kappa=mp_kappa, nsub=nsub,
+                ),
+            )
+    return (tf, tl, bound + slack, mp_terms, mp_kappa, nsub)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PaddedZeemanCatalog:
+    """Pole-major Zeeman layout for the TPU parent-pole path.
+
+    Each pole is one parent line (or a co-located half of a parent with
+    more than cmax components); its Zeeman components live in a fixed
+    [NP, CM] slot grid (strength 0 padding).  Dense slot sums replace
+    pseudo-line gathers and segment reductions, which dominate the
+    runtime of the ragged layout on TPU."""
+
+    cat: LineCatalog
+    parent: jax.Array    # [NP] int32 line index of each pole
+    split: jax.Array     # [NP, CM] splitting coefficients [Hz/T]
+    strength: jax.Array  # [NP, CM] relative strengths (0 = padding)
+    polidx: jax.Array    # [NP, CM] int32 polarization 0/1/2 (pi, sm, sp)
+
+
+def pad_zeeman_catalog(zcat: ZeemanCatalog, cmax: int = 64):
+    """Host-side conversion ZeemanCatalog -> PaddedZeemanCatalog.
+
+    Parents with more than cmax components are split into several
+    co-located poles (identical centers; the expansion is additive)."""
+    n = int(zcat.cat.f0.shape[0])
+    per_parent = [[] for _ in range(n)]
+    for p_i in range(len(POLS)):
+        idx = np.asarray(zcat.idx[p_i])
+        spl = np.asarray(zcat.split[p_i])
+        st = np.asarray(zcat.strength[p_i])
+        for k in range(idx.shape[0]):
+            per_parent[int(idx[k])].append((spl[k], st[k], p_i))
+    parents, rows = [], []
+    for p in range(n):
+        comps = per_parent[p]
+        for o in range(0, max(len(comps), 1), cmax):
+            parents.append(p)
+            rows.append(comps[o:o + cmax])
+    NP = len(parents)
+    split = np.zeros((NP, cmax))
+    strength = np.zeros((NP, cmax))
+    polidx = np.zeros((NP, cmax), np.int32)
+    for r, comps in enumerate(rows):
+        for c, (sp, st, p_i) in enumerate(comps):
+            split[r, c] = sp
+            strength[r, c] = st
+            polidx[r, c] = p_i
+    return PaddedZeemanCatalog(
+        cat=zcat.cat,
+        parent=jnp.asarray(np.asarray(parents, np.int32)),
+        split=jnp.asarray(split),
+        strength=jnp.asarray(strength),
+        polidx=jnp.asarray(polidx),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mp_terms", "mp_kappa", "tf", "pb", "noff", "interpret"),
+)
+def zeeman_propmat_profile(
+    f_grid,
+    zcat: ZeemanCatalog,
+    pf: PartFunTable,
+    T,
+    P,
+    vmr,
+    mag,
+    los_za_deg,
+    los_aa_deg=0.0,
+    mp_terms: int = 5,
+    mp_kappa: float = 6.0,
+    tf: int = 1024,
+    pb: int = 256,
+    noff: int = 6,
+    interpret: bool = False,
+):
+    """Polarized propagation matrices for a whole profile: [Z, F, 7].
+
+    The TPU-fast Zeeman path: Zeeman components of one parent line spread
+    only ~MHz (lbl_zeeman.h:342) while the asymptotic radius is ~10 MHz,
+    so beyond a tiny per-parent near radius the component structure
+    provably collapses into a parent-pole expansion — the contraction
+    shrinks from (pseudo-lines x freqs) to (parents x freqs), evaluated
+    by ops.zeeman_mp_kernel in one pallas launch over all levels, with
+    the few near grid points per parent corrected exactly in XLA.
+    T/P: [Z]; vmr: [Z, S]; mag: [3] (u, v, w in T).
+    Equivalent math to vmapping zeeman_propmat over levels; tested
+    against it.  noff must cover ceil(max r_near / grid spacing) + 1
+    (see tune_zeeman_profile).
+    """
+    from ..ops.zeeman_mp_kernel import (
+        near_correction,
+        zeeman_mp_eval,
+        zeeman_pole_moments,
+    )
+    from ..ops.wofz import wofz as _wofz
+
+    if not isinstance(zcat, PaddedZeemanCatalog):
+        raise TypeError(
+            "zeeman_propmat_profile needs a PaddedZeemanCatalog — convert "
+            "once at scene build with pad_zeeman_catalog(zcat)"
+        )
+    cat = zcat.cat
+    parent = zcat.parent  # [NP]
+    H, theta, eta = magnetic_angles(mag, los_za_deg, los_aa_deg)
+    npm = pol_matrices(theta, eta)
+    pw_tab = jnp.stack([npm[pol] for pol in POLS])  # [3, 7]
+    pw_k = pw_tab[zcat.polidx]  # [NP, CM, 7]
+    cut_parent = jnp.where(jnp.isfinite(cat.cutoff), cat.cutoff, 1e30)
+    cut_p = cut_parent[parent]  # [NP]
+    iso_mass_p = cat.iso_mass[parent]
+
+    def level(Tz, Pz, vz):
+        ls = lineshape_params(cat, Tz, Pz, vz)
+        s, f0s, inv_gd, z_imag = line_strengths(cat, pf, Tz, Pz, vz, ls)
+        f0_k = f0s[parent][:, None] + H * zcat.split  # [NP, CM]
+        gd_part = jnp.sqrt(
+            const.doppler_broadening_const_squared * Tz / iso_mass_p
+        )
+        igd_k = 1.0 / (gd_part[:, None] * f0_k)
+        zi_k = ls[parent, 0][:, None] * igd_k
+        s_k = zcat.strength * s[parent][:, None] * (
+            igd_k / inv_gd[parent][:, None]
+        )
+        sr_k, si_k = jnp.real(s_k), jnp.imag(s_k)
+        wc = _wofz(jax.lax.complex(igd_k * cut_p[:, None], zi_k))
+        swc_k = sr_k * jnp.real(wc) - si_k * jnp.imag(wc)
+        return f0_k, igd_k, zi_k, sr_k, si_k, swc_k
+
+    f0_k, igd_k, zi_k, sr_k, si_k, swc_k = jax.vmap(level)(T, P, vmr)
+
+    anchor = jnp.mean(f_grid)
+    mom = jax.vmap(
+        lambda f0z, igdz, ziz, srz, siz, swcz: zeeman_pole_moments(
+            f0z - anchor, igdz, ziz, srz, siz, swcz, pw_k,
+            mp_terms, mp_kappa,
+        )
+    )(f0_k, igd_k, zi_k, sr_k, si_k, swc_k)
+
+    out = zeeman_mp_eval(
+        f_grid - anchor, mom["c_re"], mom["g0"], mom["R"], mom["rnear2"],
+        cut_p, mom["M_re"], mom["M_im"], mom["swcsum"],
+        terms=mp_terms, tf=tf, pb=pb, interpret=interpret,
+    )
+    out = near_correction(
+        f_grid - anchor, out, mom["c_re"], mom["g0"], mom["rnear"], cut_p,
+        f0_k - anchor, igd_k, zi_k, sr_k, si_k, pw_k,
+        noff=noff,
+        wofz_n=16 if f_grid.dtype == jnp.float32 else 24,
+    )
+    scl = -f_grid[None, :] * jnp.expm1(
+        -(const.h * f_grid[None, :]) / (const.k * T[:, None])
+    )  # [Z, F]
+    return scl[:, :, None] * jnp.moveaxis(out[:, :7, :], 1, 2)
+
+
+def tune_zeeman_profile(
+    f_grid, pzcat=None, t_max: float = 320.0, mp_kappa: float = 6.0,
+) -> dict:
+    """Static knobs for zeeman_propmat_profile on a concrete f_grid:
+    noff large enough that the near-correction candidates cover the
+    worst-case near radius — max(kappa R, R + 32 Doppler widths) from the
+    actual catalog's component spreads — at this grid's spacing."""
+    fg = np.asarray(f_grid)
+    df = np.diff(fg).min() if fg.size > 1 else 1.0
+    if pzcat is not None:
+        H_ref = 1e-4  # conservative field bound [T]
+        spread = np.abs(np.asarray(pzcat.split)).max() * H_ref
+        m_min = float(np.asarray(pzcat.cat.iso_mass).min())
+    else:
+        spread, m_min = 6e7, 2.0 * 1.66e-27
+    gd_max = float(fg.max()) * float(
+        np.sqrt(const.doppler_broadening_const_squared * t_max / m_min)
+    )
+    R_max = max(spread, gd_max)
+    r_max = max(mp_kappa * R_max, R_max + 32.0 * gd_max)
+    return dict(noff=int(np.ceil(2 * r_max / df)) + 2, mp_kappa=mp_kappa)

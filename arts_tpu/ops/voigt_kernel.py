@@ -44,17 +44,21 @@ from .wofz import _weideman_coeffs
 
 _INV_SQRT_PI = 1.0 / math.sqrt(math.pi)
 _ASYM_R2 = 512.0
+# deep tier: whole-(tile, block) 1-term Laurent (pure Lorentz far wing)
+# when min |z|^2 >= 2e6 -> relative error c_1/|z|^2 <= 2.5e-7
+_DEEP_R2 = 1.0e6
 
 # fast-multipole far field: blocks whose pole cluster is at least
-# _MP_KAPPA radii from a tile collapse to a _MP_TERMS-term expansion
-# (relative truncation ~ (1/kappa)^terms / (1 - 1/kappa) ~ 4e-7)
+# mp_kappa radii from a tile collapse to a mp_terms-term expansion
+# (relative truncation ~ (1/kappa)^terms / (1 - 1/kappa); defaults
+# kappa=3.5, terms=12 -> ~4e-7)
 _MP_TERMS = 12
 _MP_KAPPA = 3.5
 
 
 def _multipole_far(
     f_flat, t_lo, t_hi, f0, igd, zi, sr, si, cutoff, swc, pw,
-    igd_min, zi_min, nl, tl,
+    igd_min, zi_min, nl, tl, terms=_MP_TERMS, kappa=_MP_KAPPA,
 ):
     """Fast-multipole Lorentzian far field for the Voigt contraction.
 
@@ -65,7 +69,7 @@ def _multipole_far(
 
         sum_l s_l w_l(f) ~ sum_j M_j (R/(f - c))^j,
 
-    valid for |f - c| >= _MP_KAPPA R.  The expansion EVALUATION is a
+    valid for |f - c| >= kappa R.  The expansion EVALUATION is a
     plain masked XLA contraction over (freqs x blocks) — ~40x fewer
     flops than the direct far tier it replaces; the kernel then visits
     only near (tile, block) pairs.  No reference analogue: the
@@ -98,7 +102,7 @@ def _multipole_far(
     ]
 
     # moments M_j = sum_l sum_k binom(j-1, 2k) A_kl q_l^(j-2k-1), j=1..P
-    P_ = _MP_TERMS
+    P_ = terms
     qp = [jnp.ones_like(q)]  # q^0 .. q^(P-1)
     for _ in range(P_ - 1):
         qp.append(qp[-1] * q)
@@ -125,7 +129,7 @@ def _multipole_far(
         0.0,
     )  # [nf, nl]
     dist2 = gap * gap + (c_im * c_im)[None, :]
-    far = dist2 >= (_MP_KAPPA * R) ** 2
+    far = dist2 >= (kappa * R) ** 2
     # every line's |z|^2 must clear the asymptotic gate (Laurent-3 regime)
     gmin = igd_min[None, :] * gap
     far &= gmin * gmin + (zi_min * zi_min)[None, :] > 2.0 * _ASYM_R2
@@ -227,6 +231,16 @@ def _wofz_asym(zr, zi, terms=None):
     return f_r * s_r - f_i * s_i, f_r * s_i + f_i * s_r
 
 
+def _wofz_deep(zr, zi):
+    """1-term Laurent w ~ i/(sqrt(pi) z): the pure far-wing Lorentz form.
+
+    Valid for |z|^2 >= _DEEP_R2 (rel. error c_1/|z|^2 <= 2.5e-7) — the
+    pressure-broadened bottom-of-atmosphere rows where z_imag alone is
+    thousands; ~4x fewer flops than the 3-term series."""
+    inv = _reciprocal(zr * zr + zi * zi) * _INV_SQRT_PI
+    return zi * inv, zr * inv
+
+
 def _wofz_parts(zr, zi, n):
     """w(z) for Im z >= 0: Weideman blended with the asymptotic series."""
     r2 = zr * zr + zi * zi
@@ -245,6 +259,7 @@ def _voigt_kernel(
     # scalar prefetch
     blkidx_ref,  # [nf, max_visits] line-block index per (tile, slot)
     nvisit_ref,  # [nf] visited-block count per tile
+    submask_ref,  # [nf, nl] int32 bitmask of near sub-tiles per block
     f0min_ref,
     f0max_ref,
     igdmin_ref,
@@ -261,6 +276,7 @@ def _voigt_kernel(
     out_ref,  # [8, TF]
     *,
     n,
+    nsub,
 ):
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -271,63 +287,85 @@ def _voigt_kernel(
 
     jb = blkidx_ref[i, j]  # actual line-block id this slot maps to
     visit = j < nvisit_ref[i]
-
-    # provable whole-tile asymptotic bound:
-    # every |z|^2 >= (igd_min * gap)^2 + zi_min^2 with gap the separation
-    # between the tile interval and the block's f0 interval
-    tile_lo = f_ref[0, 0]
-    tile_hi = f_ref[0, f_ref.shape[1] - 1]
-    gap = jnp.maximum(
-        jnp.maximum(f0min_ref[jb] - tile_hi, tile_lo - f0max_ref[jb]), 0.0
-    )
-    gmin = igdmin_ref[jb] * gap
-    bound2 = gmin * gmin + zimin_ref[jb] * zimin_ref[jb]
-    asym = bound2 > 2.0 * _ASYM_R2
+    bits = submask_ref[i, jb]
     f32 = f_ref.dtype == jnp.float32
     # mid tier: a longer Laurent series is still at roundoff well below
     # the far gate (6 terms at f32 from |z|^2 = 36, 8 at f64 from 150),
     # ~4x cheaper than the Weideman blend it replaces
     mid_r2, mid_terms = (36.0, 6) if f32 else (150.0, 8)
-    mid = bound2 > 2.0 * mid_r2
+    sf = f_ref.shape[1] // nsub
 
-    def load():
-        df = f_ref[0, :][None, :] - f0_ref[:, 0][:, None]  # [TL, TF]
-        zr = igd_ref[:, 0][:, None] * df
-        zim = jnp.broadcast_to(zi_ref[:, 0][:, None], zr.shape)
-        return df, zr, zim
+    f0c = f0_ref[:, 0][:, None]
+    igdc = igd_ref[:, 0][:, None]
+    zic = zi_ref[:, 0][:, None]
+    src = sr_ref[:, 0][:, None]
+    sic = si_ref[:, 0][:, None]
+    cutc = cut_ref[:, 0][:, None]
+    swcc = swc_ref[:, 0][:, None]
 
-    def accumulate(df, wr, wi):
-        inside = jnp.abs(df) <= cut_ref[:, 0][:, None]
-        sr = sr_ref[:, 0][:, None]
-        si = si_ref[:, 0][:, None]
-        vals = (sr * wr - si * wi) - swc_ref[:, 0][:, None]
-        contrib = jnp.where(inside, vals, jnp.zeros_like(vals))
-        tl, tf = contrib.shape
-        out_ref[:] += jnp.sum(contrib.reshape(tl // 8, 8, tf), axis=0)
+    # the classification (and the multipole far field) is per SUB-tile of
+    # sf lanes: the kernel computes only the sub-tiles whose bit is set,
+    # each with its own provable |z|^2 lower bound choosing the cheapest
+    # valid tier — every |z|^2 >= (igd_min * gap)^2 + zi_min^2 with gap
+    # the separation between the sub-tile interval and the block's f0s
+    for st in range(nsub):
+        sub_on = visit & (((bits >> st) & 1) == 1)
+        t_lo = f_ref[0, st * sf]
+        t_hi = f_ref[0, (st + 1) * sf - 1]
+        gap = jnp.maximum(
+            jnp.maximum(f0min_ref[jb] - t_hi, t_lo - f0max_ref[jb]), 0.0
+        )
+        gmin = igdmin_ref[jb] * gap
+        bound2 = gmin * gmin + zimin_ref[jb] * zimin_ref[jb]
+        deep = bound2 > 2.0 * _DEEP_R2
+        asym = bound2 > 2.0 * _ASYM_R2
+        mid = bound2 > 2.0 * mid_r2
 
-    @pl.when(visit & asym)
-    def _():
-        df, zr, zim = load()
-        wr, wi = _wofz_asym(zr, zim)
-        accumulate(df, wr, wi)
+        def load(st=st):
+            df = f_ref[0, st * sf:(st + 1) * sf][None, :] - f0c  # [TL, SF]
+            zr = igdc * df
+            zim = jnp.broadcast_to(zic, zr.shape)
+            return df, zr, zim
 
-    @pl.when(visit & mid & jnp.logical_not(asym))
-    def _():
-        df, zr, zim = load()
-        wr, wi = _wofz_asym(zr, zim, terms=mid_terms)
-        accumulate(df, wr, wi)
+        def accumulate(df, wr, wi, st=st):
+            inside = jnp.abs(df) <= cutc
+            vals = (src * wr - sic * wi) - swcc
+            contrib = jnp.where(inside, vals, jnp.zeros_like(vals))
+            tl, w = contrib.shape
+            out_ref[:, st * sf:(st + 1) * sf] += jnp.sum(
+                contrib.reshape(tl // 8, 8, w), axis=0
+            )
 
-    @pl.when(visit & jnp.logical_not(mid))
-    def _():
-        df, zr, zim = load()
-        wr, wi = _wofz_parts(zr, zim, n)
-        accumulate(df, wr, wi)
+        @pl.when(sub_on & deep)
+        def _():
+            df, zr, zim = load()
+            wr, wi = _wofz_deep(zr, zim)
+            accumulate(df, wr, wi)
+
+        @pl.when(sub_on & asym & jnp.logical_not(deep))
+        def _():
+            df, zr, zim = load()
+            wr, wi = _wofz_asym(zr, zim)
+            accumulate(df, wr, wi)
+
+        @pl.when(sub_on & mid & jnp.logical_not(asym))
+        def _():
+            df, zr, zim = load()
+            wr, wi = _wofz_asym(zr, zim, terms=mid_terms)
+            accumulate(df, wr, wi)
+
+        @pl.when(sub_on & jnp.logical_not(mid))
+        def _():
+            df, zr, zim = load()
+            wr, wi = _wofz_parts(zr, zim, n)
+            accumulate(df, wr, wi)
 
 
 def _voigt_kernel_pol(
     # scalar prefetch
     blkidx_ref,
     nvisit_ref,
+    submask_ref,
     f0min_ref,
     f0max_ref,
     igdmin_ref,
@@ -345,12 +383,13 @@ def _voigt_kernel_pol(
     out_ref,  # [8, TF]
     *,
     n,
+    nsub,
 ):
     """The Voigt contraction with per-line polarization weight columns:
     out[c] = sum_l pw[c, l] Re(s_l (w - wcut)); the w(z) evaluation (the
     dominant cost) is shared across the 7 propmat components, and the
-    7-component weighting contracts on the MXU as one [8, TL] @ [TL, TF]
-    matmul instead of seven VPU passes.
+    7-component weighting contracts on the MXU as one [8, TL] @ [TL, SF]
+    matmul per near sub-tile instead of seven VPU passes.
 
     Parity: the reference's as_zeeman scaling of the per-line propagation
     matrix (lbl_lineshape_voigt_lte.cpp:186-204 + lbl_zeeman.h:234-409),
@@ -364,58 +403,212 @@ def _voigt_kernel_pol(
 
     jb = blkidx_ref[i, j]
     visit = j < nvisit_ref[i]
-
-    tile_lo = f_ref[0, 0]
-    tile_hi = f_ref[0, f_ref.shape[1] - 1]
-    gap = jnp.maximum(
-        jnp.maximum(f0min_ref[jb] - tile_hi, tile_lo - f0max_ref[jb]), 0.0
-    )
-    gmin = igdmin_ref[jb] * gap
-    bound2 = gmin * gmin + zimin_ref[jb] * zimin_ref[jb]
-    asym = bound2 > 2.0 * _ASYM_R2
+    bits = submask_ref[i, jb]
     f32 = f_ref.dtype == jnp.float32
     mid_r2, mid_terms = (36.0, 6) if f32 else (150.0, 8)
-    mid = bound2 > 2.0 * mid_r2
+    sf = f_ref.shape[1] // nsub
 
-    def load():
-        df = f_ref[0, :][None, :] - f0_ref[:, 0][:, None]
-        zr = igd_ref[:, 0][:, None] * df
-        zim = jnp.broadcast_to(zi_ref[:, 0][:, None], zr.shape)
-        return df, zr, zim
+    f0c = f0_ref[:, 0][:, None]
+    igdc = igd_ref[:, 0][:, None]
+    zic = zi_ref[:, 0][:, None]
+    src = sr_ref[:, 0][:, None]
+    sic = si_ref[:, 0][:, None]
+    cutc = cut_ref[:, 0][:, None]
+    swcc = swc_ref[:, 0][:, None]
 
-    def accumulate(df, wr, wi):
-        inside = jnp.abs(df) <= cut_ref[:, 0][:, None]
-        sr = sr_ref[:, 0][:, None]
-        si = si_ref[:, 0][:, None]
-        vals = (sr * wr - si * wi) - swc_ref[:, 0][:, None]
-        contrib = jnp.where(inside, vals, jnp.zeros_like(vals))
-        out_ref[:, :] += jax.lax.dot_general(
-            pw_ref[:, :], contrib,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+    for st in range(nsub):
+        sub_on = visit & (((bits >> st) & 1) == 1)
+        t_lo = f_ref[0, st * sf]
+        t_hi = f_ref[0, (st + 1) * sf - 1]
+        gap = jnp.maximum(
+            jnp.maximum(f0min_ref[jb] - t_hi, t_lo - f0max_ref[jb]), 0.0
         )
+        gmin = igdmin_ref[jb] * gap
+        bound2 = gmin * gmin + zimin_ref[jb] * zimin_ref[jb]
+        deep = bound2 > 2.0 * _DEEP_R2
+        asym = bound2 > 2.0 * _ASYM_R2
+        mid = bound2 > 2.0 * mid_r2
 
-    @pl.when(visit & asym)
-    def _():
-        df, zr, zim = load()
-        wr, wi = _wofz_asym(zr, zim)
-        accumulate(df, wr, wi)
+        def load(st=st):
+            df = f_ref[0, st * sf:(st + 1) * sf][None, :] - f0c
+            zr = igdc * df
+            zim = jnp.broadcast_to(zic, zr.shape)
+            return df, zr, zim
 
-    @pl.when(visit & mid & jnp.logical_not(asym))
-    def _():
-        df, zr, zim = load()
-        wr, wi = _wofz_asym(zr, zim, terms=mid_terms)
-        accumulate(df, wr, wi)
+        def accumulate(df, wr, wi, st=st):
+            inside = jnp.abs(df) <= cutc
+            vals = (src * wr - sic * wi) - swcc
+            contrib = jnp.where(inside, vals, jnp.zeros_like(vals))
+            out_ref[:, st * sf:(st + 1) * sf] += jax.lax.dot_general(
+                pw_ref[:, :], contrib,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
-    @pl.when(visit & jnp.logical_not(mid))
-    def _():
-        df, zr, zim = load()
-        wr, wi = _wofz_parts(zr, zim, n)
-        accumulate(df, wr, wi)
+        @pl.when(sub_on & deep)
+        def _():
+            df, zr, zim = load()
+            wr, wi = _wofz_deep(zr, zim)
+            accumulate(df, wr, wi)
+
+        @pl.when(sub_on & asym & jnp.logical_not(deep))
+        def _():
+            df, zr, zim = load()
+            wr, wi = _wofz_asym(zr, zim)
+            accumulate(df, wr, wi)
+
+        @pl.when(sub_on & mid & jnp.logical_not(asym))
+        def _():
+            df, zr, zim = load()
+            wr, wi = _wofz_asym(zr, zim, terms=mid_terms)
+            accumulate(df, wr, wi)
+
+        @pl.when(sub_on & jnp.logical_not(mid))
+        def _():
+            df, zr, zim = load()
+            wr, wi = _wofz_parts(zr, zim, n)
+            accumulate(df, wr, wi)
+
+
+def _pad_lines(nl, tl, f0, inv_gd, z_imag, s_re, s_im, cutoff,
+               wcut_re, wcut_im, pw=None):
+    L = f0.shape[0]
+    padL = nl * tl - L
+    if padL:
+        pads = lambda x, v=0.0: jnp.pad(x, (0, padL), constant_values=v)
+        f0 = pads(f0)
+        inv_gd = pads(inv_gd)
+        z_imag = pads(z_imag, 1.0)  # keep zi_min bounds meaningful
+        s_re = pads(s_re)
+        s_im = pads(s_im)
+        cutoff = pads(cutoff, -1.0)
+        wcut_re = pads(wcut_re)
+        wcut_im = pads(wcut_im)
+        if pw is not None:
+            pw = jnp.pad(pw, ((0, padL), (0, 0)))
+    return f0, inv_gd, z_imag, s_re, s_im, cutoff, wcut_re, wcut_im, pw
+
+
+def _classify_visits(
+    f_grid, f0, inv_gd, z_imag, s_re, s_im, cutoff, swc, pw,
+    nf, tf, nl, tl, multipole, mp_terms, mp_kappa, nsub=1,
+):
+    """Shared (sub-tile, block) classification for both Voigt kernels.
+
+    Classification (window overlap + multipole far test) happens at
+    SUB-tile granularity (sf lanes, default 128): a kernel (tile, block)
+    pair is visited iff any of its sub-tiles is near, and the int32
+    ``submask`` tells the kernel which sub-tiles to compute.  Coarse
+    tiles would otherwise force a full direct visit whenever a tile
+    merely straddles a cutoff-window edge or a far-radius boundary.
+
+    Returns (visit [nf, nl] bool, submask [nf, nl] int32,
+    mp [nf*tf, C] | None, block extrema).  All jnp on tiny [nf]/[nl]
+    shapes except the multipole evaluation.
+    """
+    sf = tf // nsub
+    blk = lambda x: x.reshape(nl, tl)
+    win_lo = jnp.min(blk(f0 - cutoff), axis=1)
+    win_hi = jnp.max(blk(f0 + cutoff), axis=1)
+    f0_lo = jnp.min(blk(f0), axis=1)
+    f0_hi = jnp.max(blk(f0), axis=1)
+    igd_min = jnp.min(blk(inv_gd), axis=1)
+    zi_min = jnp.min(blk(z_imag), axis=1)
+
+    subs = f_grid.reshape(nf * nsub, sf)
+    s_lo = subs[:, 0]
+    s_hi = subs[:, -1]
+    near = (win_hi[None, :] >= s_lo[:, None]) & (
+        win_lo[None, :] <= s_hi[:, None]
+    )  # [nf*nsub, nl]
+    mp = None
+    if multipole:
+        far, mp = _multipole_far(
+            f_grid, s_lo, s_hi, f0, inv_gd, z_imag, s_re, s_im, cutoff,
+            swc, pw, igd_min, zi_min, nl, tl,
+            terms=mp_terms, kappa=mp_kappa,
+        )
+        near = near & ~far
+    near3 = near.reshape(nf, nsub, nl)
+    visit = jnp.any(near3, axis=1)
+    st = jnp.arange(nsub, dtype=jnp.int32)
+    submask = jnp.sum(
+        near3.astype(jnp.int32) << st[None, :, None], axis=1
+    ).astype(jnp.int32)  # [nf, nl]
+    return visit, submask, mp, f0_lo, f0_hi, igd_min, zi_min
+
+
+def _visit_lists(visit, nf, nl, max_visits):
+    """(blkidx [nf, max_visits], nvisit [nf]) from the visit mask.
+
+    max_visits is the STATIC visit-axis bound; blocks beyond it are
+    silently dropped — callers must size it with voigt_visit_bound()
+    (exact on concrete inputs) or leave the default nl (always safe).
+    Overflow slots repeat the last visited block: pallas skips the DMA
+    when consecutive steps map to the same block, so they cost ~nothing.
+    """
+    nvisit = jnp.sum(visit, axis=1).astype(jnp.int32)  # [nf]
+    order = jnp.argsort(~visit, axis=1, stable=True).astype(jnp.int32)
+    last = order[jnp.arange(nf), jnp.maximum(nvisit - 1, 0)]
+    jidx = jnp.arange(nl, dtype=jnp.int32)[None, :]
+    blkidx = jnp.where(jidx < nvisit[:, None], order, last[:, None])
+    if max_visits < nl:
+        blkidx = blkidx[:, :max_visits]
+        nvisit = jnp.minimum(nvisit, max_visits)
+    return blkidx, nvisit
+
+
+def voigt_visit_bound(
+    f_grid, f0, inv_gd, z_imag, cutoff,
+    tf: int = 512, tl: int = 256,
+    multipole: bool = True,
+    mp_terms: int = _MP_TERMS, mp_kappa: float = _MP_KAPPA,
+    nsub: int = 1,
+) -> int:
+    """Exact max visited blocks per freq tile, on CONCRETE (numpy) inputs.
+
+    Run once at scene-build time (outside jit) to derive a tight static
+    ``max_visits`` for voigt_sum/voigt_sum_pol: with fine line blocks the
+    default bound (nl) pads the pallas grid with mostly-skipped slots
+    whose dispatch overhead dominates.  Uses the same classification code
+    as the kernels, evaluated eagerly, so it can never under-count.
+    For level-batched use, call per level and take the max.
+    """
+    import numpy as np
+
+    # eager numerics pinned to CPU: the axon TPU eager path lacks some
+    # host ops (UNIMPLEMENTED errors that vanish under jit)
+    with jax.default_device(jax.devices("cpu")[0]):
+        f_grid = jnp.asarray(np.asarray(f_grid))
+        F, L = f_grid.shape[0], np.asarray(f0).shape[0]
+        nf, nl = -(-F // tf), -(-L // tl)
+        if nf * tf - F:
+            f_grid = jnp.pad(
+                f_grid, (0, nf * tf - F), constant_values=f_grid[-1]
+            )
+        z = jnp.zeros(L, f_grid.dtype)
+        args = _pad_lines(
+            nl, tl, jnp.asarray(np.asarray(f0)),
+            jnp.asarray(np.asarray(inv_gd)),
+            jnp.asarray(np.asarray(z_imag)), z, z,
+            jnp.asarray(np.asarray(cutoff)), z, z,
+            jnp.ones((L, 1), f_grid.dtype),
+        )
+        f0p, igdp, zip_, srp, sip, cutp, wcrp, wcip, pwp = args
+        swc = srp * wcrp - sip * wcip
+        visit, _, *_ = _classify_visits(
+            f_grid, f0p, igdp, zip_, srp, sip, cutp, swc, pwp,
+            nf, tf, nl, tl, multipole, mp_terms, mp_kappa, nsub,
+        )
+        return int(np.asarray(jnp.sum(visit, axis=1)).max())
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tf", "tl", "n", "interpret", "multipole")
+    jax.jit,
+    static_argnames=(
+        "tf", "tl", "n", "interpret", "multipole", "max_visits",
+        "mp_terms", "mp_kappa", "nsub",
+    ),
 )
 def voigt_sum(
     f_grid,
@@ -432,6 +625,10 @@ def voigt_sum(
     n: int = 24,
     interpret: bool = False,
     multipole: bool = True,
+    max_visits: int | None = None,
+    mp_terms: int = _MP_TERMS,
+    mp_kappa: float = _MP_KAPPA,
+    nsub: int = 1,
 ):
     """Re sum_l s_l (w(z_l(f)) - wcut_l) masked to |f-f0_l| <= cut_l. [F].
 
@@ -439,7 +636,10 @@ def voigt_sum(
     should share a common anchor shift for f32 use. cutoff must be finite
     (use a huge value like 1e30 for 'no cutoff' with wcut = 0).
     multipole: evaluate provably-far (tile, block) pairs by the block
-    pole expansion in XLA instead of the direct kernel tier.
+    pole expansion in XLA instead of the direct kernel tier.  Small tl
+    (32-64) shrinks the cluster radius so the far field swallows most
+    in-window pairs; pair it with a tight static max_visits from
+    voigt_visit_bound() so the grid's visit axis stays short.
     """
     F = f_grid.shape[0]
     L = f0.shape[0]
@@ -447,62 +647,30 @@ def voigt_sum(
     nf = -(-F // tf)
     nl = -(-L // tl)
     padF = nf * tf - F
-    padL = nl * tl - L
 
     if padF:
         f_grid = jnp.pad(f_grid, (0, padF), constant_values=f_grid[-1])
-    pads = lambda x, v=0.0: jnp.pad(x, (0, padL), constant_values=v)
-    if padL:
-        f0 = pads(f0)
-        inv_gd = pads(inv_gd)
-        z_imag = pads(z_imag, 1.0)  # keep zi_min bounds meaningful
-        s_re = pads(s_re)
-        s_im = pads(s_im)
-        cutoff = pads(cutoff, -1.0)
-        wcut_re = pads(wcut_re)
-        wcut_im = pads(wcut_im)
+    (f0, inv_gd, z_imag, s_re, s_im, cutoff, wcut_re, wcut_im, _
+     ) = _pad_lines(nl, tl, f0, inv_gd, z_imag, s_re, s_im, cutoff,
+                    wcut_re, wcut_im)
 
     # per-line cutoff-subtraction constant folded at trace time:
     # contribution = Re(s w) - Re(s wcut) inside the window
     swc = s_re * wcut_re - s_im * wcut_im
 
-    # per-block extrema (host-side jnp, tiny)
-    blk = lambda x: x.reshape(nl, tl)
-    win_lo = jnp.min(blk(f0 - cutoff), axis=1)
-    win_hi = jnp.max(blk(f0 + cutoff), axis=1)
-    f0_lo = jnp.min(blk(f0), axis=1)
-    f0_hi = jnp.max(blk(f0), axis=1)
-    igd_min = jnp.min(blk(inv_gd), axis=1)
-    zi_min = jnp.min(blk(z_imag), axis=1)
-
-    # visited-block lists per freq tile: the grid iterates only blocks
-    # whose window can overlap the tile (skipped blocks cost nothing)
-    tiles = f_grid.reshape(nf, tf)
-    t_lo = tiles[:, 0]
-    t_hi = tiles[:, -1]
-    visit = (win_hi[None, :] >= t_lo[:, None]) & (
-        win_lo[None, :] <= t_hi[:, None]
-    )  # [nf, nl]
-    if multipole:
-        far, mp = _multipole_far(
-            f_grid, t_lo, t_hi, f0, inv_gd, z_imag, s_re, s_im, cutoff,
-            swc, jnp.ones((f0.shape[0], 1), dtype), igd_min, zi_min,
-            nl, tl,
-        )
-        visit = visit & ~far
-    nvisit = jnp.sum(visit, axis=1).astype(jnp.int32)  # [nf]
-    max_visits = nl  # static bound; dynamic counts gate the work
-    order = jnp.argsort(~visit, axis=1, stable=True).astype(jnp.int32)
-    # overflow slots repeat the last visited block: pallas skips the DMA
-    # when consecutive steps map to the same block, so they cost ~nothing
-    last = order[jnp.arange(nf), jnp.maximum(nvisit - 1, 0)]
-    jidx = jnp.arange(nl, dtype=jnp.int32)[None, :]
-    blkidx = jnp.where(jidx < nvisit[:, None], order, last[:, None])
+    visit, submask, mp, f0_lo, f0_hi, igd_min, zi_min = _classify_visits(
+        f_grid, f0, inv_gd, z_imag, s_re, s_im, cutoff, swc,
+        jnp.ones((f0.shape[0], 1), dtype),
+        nf, tf, nl, tl, multipole, mp_terms, mp_kappa, nsub,
+    )
+    max_visits = nl if max_visits is None else min(max_visits, nl)
+    blkidx, nvisit = _visit_lists(visit, nf, nl, max_visits)
 
     col = lambda x: x.reshape(-1, 1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,  # blkidx, nvisit, f0_lo, f0_hi, igd_min, zi_min
+        # blkidx, nvisit, submask, f0_lo, f0_hi, igd_min, zi_min
+        num_scalar_prefetch=7,
         grid=(nf, max_visits),
         in_specs=[
             pl.BlockSpec(
@@ -523,13 +691,14 @@ def voigt_sum(
     )
 
     out = pl.pallas_call(
-        functools.partial(_voigt_kernel, n=n),
+        functools.partial(_voigt_kernel, n=n, nsub=nsub),
         out_shape=jax.ShapeDtypeStruct((8, nf * tf), dtype),
         grid_spec=grid_spec,
         interpret=interpret,
     )(
         blkidx,
         nvisit,
+        submask,
         f0_lo,
         f0_hi,
         igd_min,
@@ -550,7 +719,11 @@ def voigt_sum(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tf", "tl", "n", "interpret", "multipole")
+    jax.jit,
+    static_argnames=(
+        "tf", "tl", "n", "interpret", "multipole", "max_visits",
+        "mp_terms", "mp_kappa", "nsub",
+    ),
 )
 def voigt_sum_pol(
     f_grid,
@@ -568,6 +741,10 @@ def voigt_sum_pol(
     n: int = 24,
     interpret: bool = False,
     multipole: bool = True,
+    max_visits: int | None = None,
+    mp_terms: int = _MP_TERMS,
+    mp_kappa: float = _MP_KAPPA,
+    nsub: int = 1,
 ):
     """Polarized Voigt contraction: [7, F] with
     out[c] = sum_l pw[l, c] Re(s_l (w(z_l) - wcut_l)) inside the window.
@@ -575,7 +752,9 @@ def voigt_sum_pol(
     pw: [L, 7] per-line polarization weights (the Zeeman pi/sigma
     geometric matrices broadcast to pseudo-lines).  Other args as
     voigt_sum; same block-skipping and Laurent tier gating — the w(z)
-    evaluation is shared across all 7 components.
+    evaluation is shared across all 7 components.  For Zeeman catalogs
+    small tl aligns clusters with parent lines (components spread only
+    ~MHz) so the multipole collapses nearly the whole window.
     """
     F = f_grid.shape[0]
     L = f0.shape[0]
@@ -583,57 +762,28 @@ def voigt_sum_pol(
     nf = -(-F // tf)
     nl = -(-L // tl)
     padF = nf * tf - F
-    padL = nl * tl - L
 
     if padF:
         f_grid = jnp.pad(f_grid, (0, padF), constant_values=f_grid[-1])
-    pads = lambda x, v=0.0: jnp.pad(x, (0, padL), constant_values=v)
-    if padL:
-        f0 = pads(f0)
-        inv_gd = pads(inv_gd)
-        z_imag = pads(z_imag, 1.0)
-        s_re = pads(s_re)
-        s_im = pads(s_im)
-        cutoff = pads(cutoff, -1.0)
-        wcut_re = pads(wcut_re)
-        wcut_im = pads(wcut_im)
-        pw = jnp.pad(pw, ((0, padL), (0, 0)))
+    (f0, inv_gd, z_imag, s_re, s_im, cutoff, wcut_re, wcut_im, pw
+     ) = _pad_lines(nl, tl, f0, inv_gd, z_imag, s_re, s_im, cutoff,
+                    wcut_re, wcut_im, pw)
     # transposed [8, L] so the kernel's weighting is a single MXU matmul
     pw8 = jnp.pad(pw.astype(dtype), ((0, 0), (0, 1))).T
 
     swc = s_re * wcut_re - s_im * wcut_im
 
-    blk = lambda x: x.reshape(nl, tl)
-    win_lo = jnp.min(blk(f0 - cutoff), axis=1)
-    win_hi = jnp.max(blk(f0 + cutoff), axis=1)
-    f0_lo = jnp.min(blk(f0), axis=1)
-    f0_hi = jnp.max(blk(f0), axis=1)
-    igd_min = jnp.min(blk(inv_gd), axis=1)
-    zi_min = jnp.min(blk(z_imag), axis=1)
-
-    tiles = f_grid.reshape(nf, tf)
-    t_lo = tiles[:, 0]
-    t_hi = tiles[:, -1]
-    visit = (win_hi[None, :] >= t_lo[:, None]) & (
-        win_lo[None, :] <= t_hi[:, None]
+    visit, submask, mp, f0_lo, f0_hi, igd_min, zi_min = _classify_visits(
+        f_grid, f0, inv_gd, z_imag, s_re, s_im, cutoff, swc, pw,
+        nf, tf, nl, tl, multipole, mp_terms, mp_kappa, nsub,
     )
-    if multipole:
-        far, mp = _multipole_far(
-            f_grid, t_lo, t_hi, f0, inv_gd, z_imag, s_re, s_im, cutoff,
-            swc, pw, igd_min, zi_min, nl, tl,
-        )
-        visit = visit & ~far
-    nvisit = jnp.sum(visit, axis=1).astype(jnp.int32)
-    max_visits = nl
-    order = jnp.argsort(~visit, axis=1, stable=True).astype(jnp.int32)
-    last = order[jnp.arange(nf), jnp.maximum(nvisit - 1, 0)]
-    jidx = jnp.arange(nl, dtype=jnp.int32)[None, :]
-    blkidx = jnp.where(jidx < nvisit[:, None], order, last[:, None])
+    max_visits = nl if max_visits is None else min(max_visits, nl)
+    blkidx, nvisit = _visit_lists(visit, nf, nl, max_visits)
 
     col = lambda x: x.reshape(-1, 1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=7,
         grid=(nf, max_visits),
         in_specs=[
             pl.BlockSpec(
@@ -662,13 +812,14 @@ def voigt_sum_pol(
     )
 
     out = pl.pallas_call(
-        functools.partial(_voigt_kernel_pol, n=n),
+        functools.partial(_voigt_kernel_pol, n=n, nsub=nsub),
         out_shape=jax.ShapeDtypeStruct((8, nf * tf), dtype),
         grid_spec=grid_spec,
         interpret=interpret,
     )(
         blkidx,
         nvisit,
+        submask,
         f0_lo,
         f0_hi,
         igd_min,

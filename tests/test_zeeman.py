@@ -145,3 +145,58 @@ def test_pallas_pol_kernel_matches_xla():
     scale = np.abs(pm_x).max()
     np.testing.assert_allclose(pm_p, pm_x, atol=2e-6 * scale, rtol=2e-5)
     assert np.abs(pm_x[:, 1:]).max() > 0  # polarized components present
+
+
+def test_zeeman_parent_pole_profile():
+    """The TPU parent-pole multipole path (zeeman_propmat_profile) equals
+    the per-pseudo-line XLA evaluation over a profile of (T, P) points.
+
+    Kernel runs in interpret mode on CPU; the parent-pole expansion +
+    near correction must match everywhere: upper levels exercise the
+    exact near correction (narrow lines), the bottom the pure expansion
+    (pressure-broadened poles valid at every grid point)."""
+    import jax
+
+    from arts_tpu.io.hitran import zeeman_catalog_from_par
+    from arts_tpu.lbl.zeeman import (
+        pad_zeeman_catalog,
+        tune_zeeman_profile,
+        zeeman_propmat_profile,
+    )
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from bench import synth_par_rows
+
+    zcat = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x, jnp.float32)
+        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x,
+        zeeman_catalog_from_par(
+            synth_par_rows(n_lines=96), ["H2O", "O2"],
+            strength_option="A", cutoff=25e9,
+        ),
+    )
+    pf = rigid_rotor_table(2, [174.6, 215.7], 1.5)
+    f_grid = jnp.linspace(160e9, 260e9, 256, dtype=jnp.float32)
+    mag = jnp.asarray([0.0, 3e-5, 3e-5], jnp.float32)
+    Tz = jnp.asarray([210.0, 250.0, 288.0], jnp.float32)
+    Pz = jnp.asarray([2e2, 2e4, 1e5], jnp.float32)
+    Vz = jnp.asarray([[4e-6, 0.21]] * 3, jnp.float32)
+
+    ref = np.asarray(
+        jax.vmap(
+            lambda t, p, v: zeeman_propmat(
+                f_grid, zcat, pf, t, p, v, mag, 180.0, backend="xla"
+            )
+        )(Tz, Pz, Vz)
+    )
+    pz = pad_zeeman_catalog(zcat)
+    tune = tune_zeeman_profile(f_grid, pz)
+    out = np.asarray(
+        zeeman_propmat_profile(
+            f_grid, pz, pf, Tz, Pz, Vz, mag, 180.0, interpret=True, **tune
+        )
+    )
+    sc = np.abs(ref).max()
+    assert np.abs(out - ref).max() / sc < 1e-4

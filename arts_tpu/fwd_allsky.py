@@ -139,7 +139,7 @@ def gas_absorption_profile(scene: AllskyScene, f_grid, block: int = 256,
     jax.jit,
     static_argnames=(
         "nquad", "nleg", "nfourier", "mu0", "phis", "block", "backend",
-        "fast_linalg", "thermal",
+        "fast_linalg", "thermal", "intensity_correction", "phi0",
     ),
 )
 def simulate_allsky(
@@ -150,12 +150,14 @@ def simulate_allsky(
     nfourier: int | None = None,
     mu0: float = 0.0,
     fbeam=0.0,
+    phi0: float = 0.0,
     phis: tuple = (),
     block: int = 256,
     backend: str = "xla",
     fast_linalg: bool = False,
     k_gas=None,
     thermal: bool = True,
+    intensity_correction: bool = False,
 ):
     """DISORT radiance/flux field for a vertical profile of scene.atm.
 
@@ -227,8 +229,10 @@ def simulate_allsky(
     )
     run = jax.vmap(
         lambda i: disort(
-            i, nquad=nquad, nleg=nleg, nfourier=nfourier, mu0=mu0, phis=phis,
+            i, nquad=nquad, nleg=nleg, nfourier=nfourier, mu0=mu0,
+            phi0=phi0, phis=phis,
             fast_linalg=fast_linalg,
+            intensity_correction=intensity_correction,
         )
     )
     return run(inp)

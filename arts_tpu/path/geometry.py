@@ -33,6 +33,7 @@ class PathGeometry:
     s: np.ndarray
     za: np.ndarray
     background: str
+    aa: np.ndarray | float | None = None  # line-of-sight azimuth [deg]
 
     @property
     def n_points(self):

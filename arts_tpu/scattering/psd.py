@@ -57,10 +57,14 @@ class MGDSingleMoment:
         k = (b + self.mu + 1.0 - self.gamma) / self.gamma
         expo = 1.0 / (self.n_b - k - 1.0)
         denom = a * self.n_alpha * jnp.exp(jax.lax.lgamma(k + 1.0))
-        lam = (wc * self.gamma / denom) ** expo
+        # sanitize BEFORE the (typically negative) power: 0^expo -> inf
+        # whose cotangent survives the final where as NaN under autodiff
+        # (d psd/d wc at wc = 0 is then a clean 0)
+        ok = (wc > 0.0) & (t >= self.t_min) & (t <= self.t_max)
+        wc_safe = jnp.where(wc > 0.0, wc, 1.0)
+        lam = (wc_safe * self.gamma / denom) ** expo
         n0 = self.n_alpha * lam**self.n_b
         psd = mgd_psd(sizes, n0, self.mu, lam, self.gamma)
-        ok = (wc > 0.0) & (t >= self.t_min) & (t <= self.t_max)
         return jnp.where(ok, psd, 0.0)
 
 

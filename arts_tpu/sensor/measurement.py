@@ -51,11 +51,26 @@ def stack_paths(paths):
     )
 
 
+def stack_azimuths(paths):
+    """First-path-point line-of-sight azimuth per geometry [G] (degrees);
+    geometries without an `aa` attribute count as azimuth 0."""
+    out = np.zeros(len(paths))
+    for i, p in enumerate(paths):
+        aa = getattr(p, "aa", None)
+        if aa is not None:
+            out[i] = float(np.ravel(np.asarray(aa))[0])
+    return jnp.asarray(out)
+
+
 def _simulate_batch(scene, f_grid, alts, drs, zas, backgrounds,
-                    observer=None):
+                    observer=None, aas=None):
     """Radiances [G, F] for stacked geometries; mixed background types are
     split into per-background sub-batches (the reference splits
-    simulations by observer agenda) and scattered back in order."""
+    simulations by observer agenda) and scattered back in order.
+
+    Observers carrying ``wants_azimuth = True`` (the azimuth-resolved
+    DISORT observer) additionally receive the per-geometry line-of-sight
+    azimuths."""
     observer = observer or clearsky_observer()
     groups = {}
     for i, b in enumerate(backgrounds):
@@ -63,7 +78,12 @@ def _simulate_batch(scene, f_grid, alts, drs, zas, backgrounds,
     I = None
     for bg, idx in groups.items():
         sel = jnp.asarray(idx)
-        Ib = observer(scene, f_grid, alts[sel], drs[sel], zas[sel], bg)
+        if getattr(observer, "wants_azimuth", False):
+            a = jnp.zeros(len(idx)) if aas is None else aas[sel]
+            Ib = observer(scene, f_grid, alts[sel], drs[sel], zas[sel], bg,
+                          aas=a)
+        else:
+            Ib = observer(scene, f_grid, alts[sel], drs[sel], zas[sel], bg)
         if I is None:
             I = jnp.zeros((len(backgrounds),) + Ib.shape[1:], Ib.dtype)
         I = I.at[sel].set(Ib)
@@ -78,7 +98,7 @@ def measurement_vector(
     alts, drs, zas, bgs = stack_paths(paths)
     I = _simulate_batch(
         scene, f_grid, alts, drs, zas, [b or background for b in bgs],
-        observer=observer,
+        observer=observer, aas=stack_azimuths(paths),
     )
     return sensor.apply(I)
 
@@ -154,7 +174,7 @@ def measurement_vector_from_obsels(scene, obsels):
         cache.append(
             _simulate_batch(
                 scene, f_grid, alts, drs, zas, [b or bg for b in bgs],
-                observer=observer,
+                observer=observer, aas=stack_azimuths(paths),
             )
         )
     return jnp.concatenate(

@@ -61,24 +61,65 @@ def allsky_observer(nquad: int = 16, nfourier: int = 1, level: str = "toa",
     (ground view, downwelling at the bottom level).  The viewing angle is
     each geometry's FIRST path-point zenith angle; the radiance arriving
     from direction za propagates with mu = -cos(za).
+
+    Azimuth resolution (the reference's `spectral_radFromDisort`
+    interpolating the full azimuth-resolved, TMS/IMS-corrected field,
+    src/m_disort.cc:91 + disort.h:246-330): with a solar beam present
+    (fbeam != 0) and nfourier > 1, the solve synthesizes the Fourier
+    series at every geometry's line-of-sight azimuth (plus the TMS/IMS
+    single-scatter correction) and each geometry reads u at its own
+    (mu, phi) instead of the azimuth average u0.  Thermal-only fields
+    (nfourier == 1) are azimuth-symmetric, so u0 remains exact there.
     """
+    import numpy as np
+
     from ..fwd_allsky import simulate_allsky
 
-    def run(scene, f_grid, alts, drs, zas, background):
+    beam_on = float(np.max(np.abs(np.asarray(kw.get("fbeam", 0.0))))) != 0.0
+    resolved = beam_on and (nfourier is None or nfourier > 1)
+
+    def run(scene, f_grid, alts, drs, zas, background, aas=None):
+        lvl = 0 if level == "toa" else -1
+        mu_v = -jnp.cos(jnp.deg2rad(zas[:, 0]))  # [G]
+
+        if resolved and aas is not None:
+            # static azimuth set for the Fourier synthesis: the unique
+            # line-of-sight azimuths of this geometry group (host-side,
+            # like the reference's per-ray-point field interpolation)
+            aa0 = np.round(np.asarray(aas), 6)
+            phis = tuple(np.unique(aa0).tolist())
+            pidx = jnp.asarray([phis.index(a) for a in aa0.tolist()])
+            out = simulate_allsky(
+                scene, f_grid, nquad=nquad, nfourier=nfourier,
+                fast_linalg=fast_linalg, phis=phis,
+                intensity_correction=True, **kw,
+            )
+            u = out.u[:, lvl, :, :]  # [F, NQuad, nphi]
+            mu_grid = jnp.asarray(out.mu)
+            if mu_grid.ndim == 2:
+                mu_grid = mu_grid[0]
+
+            def at_geo(mu, pi):
+                rows = u[:, :, pi]  # [F, NQuad]
+                return jax.vmap(lambda row: jnp.interp(mu, mu_grid, row))(
+                    rows
+                )
+
+            return jax.vmap(at_geo)(mu_v, pidx)  # [G, F]
+
         out = simulate_allsky(
             scene, f_grid, nquad=nquad, nfourier=nfourier,
             fast_linalg=fast_linalg, **kw
         )
-        lvl = 0 if level == "toa" else -1
         u_lvl = out.u0[:, lvl, :]  # [F, NQuad], mu ascending
         mu_grid = jnp.asarray(out.mu)
         if mu_grid.ndim == 2:  # vmapped-over-frequency solve duplicates mu
             mu_grid = mu_grid[0]
-        mu_v = -jnp.cos(jnp.deg2rad(zas[:, 0]))  # [G]
 
         def at_mu(mu):
             return jax.vmap(lambda row: jnp.interp(mu, mu_grid, row))(u_lvl)
 
         return jax.vmap(at_mu)(mu_v)  # [G, F]
 
+    run.wants_azimuth = resolved
     return run

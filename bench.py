@@ -136,6 +136,117 @@ def _cast_tree(tree, dtype):
     return jax.tree_util.tree_map(cast, tree)
 
 
+def lbl_roofline(scene, f_grid, lbl_seconds):
+    """Roofline accounting for the LBL stage (VERDICT r3 item 1).
+
+    Counts, per level, the (line, freq) pairs the kernel actually
+    computes — visited (tile, block) pairs at the kernel's tiling, with
+    the per-block tier choice (deep/asym/mid/weideman flops per pair) —
+    plus the in-window pair count, and measures the chip's VPU f32 peak
+    with a pure-FMA pallas kernel.  Extras dict for the bench line.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from arts_tpu.lbl.voigt import lineshape_params, line_strengths
+
+    pts = scene.atm.at(scene.atm.z[::-1])
+    T = np.asarray(pts.t)
+    P = np.asarray(pts.p)
+    V = np.asarray(pts.vmr)
+    cat = jax.tree_util.tree_map(np.asarray, scene.cat)
+    pf = jax.tree_util.tree_map(np.asarray, scene.pf)
+    fg = np.asarray(f_grid)
+    anchor = fg.mean()
+    tf, tl = 512, 256  # absorption_pallas defaults at this shape
+    F, L = fg.shape[0], cat.f0.shape[0]
+    nf, nl = -(-F // tf), -(-L // tl)
+    ftile = np.pad(fg - anchor, (0, nf * tf - F), constant_values=fg[-1])
+    t_lo = ftile.reshape(nf, tf)[:, 0]
+    t_hi = ftile.reshape(nf, tf)[:, -1]
+    # flops/pair per tier incl. load + accumulate (ops/voigt_kernel.py)
+    FL_DEEP, FL_ASYM, FL_MID, FL_WEI = 22.0, 50.0, 75.0, 170.0
+    inwin = 0
+    visited = 0
+    gflop = 0.0
+    with jax.default_device(jax.devices("cpu")[0]):
+        for z in range(T.shape[0]):
+            ls = lineshape_params(cat, T[z], P[z], V[z])
+            _, f0s, igd, zi = line_strengths(cat, pf, T[z], P[z], V[z], ls)
+            f0s = np.asarray(f0s) - anchor
+            igd = np.asarray(igd)
+            zi = np.asarray(zi)
+            cut = np.where(np.isfinite(cat.cutoff), cat.cutoff, 1e30)
+            lo = np.searchsorted(fg - anchor, f0s - cut)
+            hi = np.searchsorted(fg - anchor, f0s + cut)
+            inwin += int((hi - lo).sum())
+            pad = nl * tl - L
+            f0p = np.pad(f0s, (0, pad))
+            igdp = np.pad(igd, (0, pad))
+            zip_ = np.pad(zi, (0, pad), constant_values=1.0)
+            cutp = np.pad(cut, (0, pad), constant_values=-1.0)
+            blk = lambda x: x.reshape(nl, tl)
+            win_lo = blk(f0p - cutp).min(1)
+            win_hi = blk(f0p + cutp).max(1)
+            f0min, f0max = blk(f0p).min(1), blk(f0p).max(1)
+            igdmin, zimin = blk(igdp).min(1), blk(zip_).min(1)
+            visit = (win_hi[None, :] >= t_lo[:, None]) & (
+                win_lo[None, :] <= t_hi[:, None]
+            )
+            gap = np.maximum(
+                np.maximum(f0min[None, :] - t_hi[:, None],
+                           t_lo[:, None] - f0max[None, :]), 0.0,
+            )
+            b2 = (igdmin[None, :] * gap) ** 2 + (zimin**2)[None, :]
+            fl = np.where(
+                b2 > 2e6, FL_DEEP,
+                np.where(b2 > 1024.0, FL_ASYM,
+                         np.where(b2 > 72.0, FL_MID, FL_WEI)),
+            )
+            visited += int(visit.sum()) * tl * tf
+            gflop += float((visit * fl).sum()) * tl * tf / 1e9
+
+    # measured VPU f32 peak: long FMA chain on a VMEM-resident block
+    import functools
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def fma_kernel(x_ref, o_ref, *, iters):
+        x = x_ref[:]
+        a = x * 1.000001 + 0.3
+        for _ in range(iters):
+            a = a * x + 0.5
+        o_ref[:] = a
+
+    N, ITERS = 512 * 1024, 512
+
+    @jax.jit
+    def fma(x):
+        return pl.pallas_call(
+            functools.partial(fma_kernel, iters=ITERS),
+            out_shape=jax.ShapeDtypeStruct((8, N // 8), jnp.float32),
+            grid=(1,),
+            in_specs=[pl.BlockSpec((8, N // 8), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((8, N // 8), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM),
+        )(x)
+
+    x = jnp.linspace(0.9, 1.1, N, dtype=jnp.float32).reshape(8, -1)
+    dt = _timeit(lambda i: fma(x + jnp.float32(i) * 1e-9), iters=10)
+    peak = N * ITERS * 2 / dt / 1e12
+    achieved = gflop / 1e3 / lbl_seconds
+    return {
+        "lbl_inwindow_pairs": inwin,
+        "lbl_visited_pairs": visited,
+        "lbl_direct_gflop_est": round(gflop, 2),
+        "lbl_achieved_tflops": round(achieved, 3),
+        "vpu_peak_tflops_measured": round(peak, 3),
+        "lbl_roofline_frac": round(achieved / peak, 3),
+    }
+
+
 def _timeit(fn, iters=5):
     """Time fn(i) over iters calls, i = 1..iters.
 
@@ -228,25 +339,36 @@ def main():
             )
     except Exception as e:  # extras must never kill the headline metric
         extras["lbl_error"] = str(e)[:120]
+    try:  # roofline record for the LBL stage (VERDICT r3 item 1)
+        if backend == "pallas" and "lbl_stage_ms" in extras:
+            extras.update(
+                lbl_roofline(scene, f_grid, extras["lbl_stage_ms"] / 1e3)
+            )
+    except Exception as e:
+        extras["roofline_error"] = str(e)[:160]
     try:  # on-chip numeric guard for the fused DISORT path: the headline
         # runs the three-kernel Mosaic artifact (fast_linalg=True on TPU);
-        # compare its fluxes against the plain XLA solve
+        # compare fluxes AND the radiance fields u0/u against the plain
+        # XLA solve (observers consume u0/u — VERDICT r3 item 7)
         if backend == "pallas":
             k_gas = gas_absorption_profile(scene, f_grid, backend=backend)
-            f_fused = np.asarray(
-                simulate_allsky(
-                    scene, f_grid, nquad=16, nfourier=1, backend=backend,
-                    fast_linalg=True, k_gas=k_gas,
-                ).flux_up
+            o_fused = simulate_allsky(
+                scene, f_grid, nquad=16, nfourier=1, backend=backend,
+                fast_linalg=True, k_gas=k_gas,
             )
-            f_xla = np.asarray(
-                simulate_allsky(
-                    scene, f_grid, nquad=16, nfourier=1, backend=backend,
-                    fast_linalg=False, k_gas=k_gas,
-                ).flux_up
+            o_xla = simulate_allsky(
+                scene, f_grid, nquad=16, nfourier=1, backend=backend,
+                fast_linalg=False, k_gas=k_gas,
             )
-            extras["disort_fused_vs_xla_maxdiff"] = float(
-                np.abs(f_fused - f_xla).max() / np.abs(f_xla).max()
+            rel = lambda a, b: float(
+                np.abs(np.asarray(a) - np.asarray(b)).max()
+                / np.abs(np.asarray(b)).max()
+            )
+            extras["disort_fused_vs_xla_maxdiff"] = rel(
+                o_fused.flux_up, o_xla.flux_up
+            )
+            extras["disort_fused_vs_xla_u0_maxdiff"] = rel(
+                o_fused.u0, o_xla.u0
             )
     except Exception as e:
         extras["disort_guard_error"] = str(e)[:160]
@@ -267,18 +389,29 @@ def main():
             )
         vals = json.loads(lines_out[-1])
         extras["lbl_f64_pts_per_s"] = vals["lbl"]
-        if "pipeline" in vals:
-            extras["pipeline_f64_pts_per_s"] = vals["pipeline"]
-        if "pipeline_shape" in vals:
-            extras["pipeline_f64_shape"] = vals["pipeline_shape"]
-        if "pipeline_error" in vals:
-            extras["pipeline_f64_error"] = vals["pipeline_error"]
+        for src, dst in (
+            ("pipeline", "pipeline_f64_pts_per_s"),
+            ("pipeline_shape", "pipeline_f64_shape"),
+            ("pipeline_error", "pipeline_f64_error"),
+            ("pipeline_f64_vs_cpu_maxdiff", "pipeline_f64_vs_cpu_maxdiff"),
+            ("f64_guard_error", "f64_guard_error"),
+        ):
+            if src in vals:
+                extras[dst] = vals[src]
         extras["lbl_f64_backend"] = "xla"
     except Exception as e:
         extras["lbl_f64_error"] = str(e)[:200]
-    try:  # Zeeman polarized propmat (auto g's from the .par quanta)
+    try:  # Zeeman polarized propmat (auto g's from the .par quanta) via
+        # the parent-pole multipole path (ops/zeeman_mp_kernel.py)
+        import functools
+
         from arts_tpu.io.hitran import zeeman_catalog_from_par
-        from arts_tpu.lbl.zeeman import zeeman_propmat
+        from arts_tpu.lbl.zeeman import (
+            pad_zeeman_catalog,
+            tune_zeeman_profile,
+            zeeman_propmat,
+            zeeman_propmat_profile,
+        )
 
         zcat = _cast_tree(
             zeeman_catalog_from_par(
@@ -288,48 +421,42 @@ def main():
             jnp.float32,
         )
         pts = scene.atm.at(scene.atm.z[::-1])
-        zbackend = "pallas" if backend == "pallas" else "xla"
-        zfun = jax.jit(
-            jax.vmap(
-                lambda t, p, v, m, za: zeeman_propmat(
-                    f_grid, zcat, scene.pf, t, p, v, m, za, backend=zbackend
-                ),
-                in_axes=(0, 0, 0, None, None),
-            )
-        )
         mag = jnp.asarray([0.0, 3e-5, 3e-5], jnp.float32)
+        pzcat = pad_zeeman_catalog(zcat)
+        ztune = tune_zeeman_profile(f_grid, pzcat)
+        zp = functools.partial(zeeman_propmat_profile, **ztune)
         dt_z = _timeit(
-            lambda i: zfun(pts.t + jnp.float32(i) * 1e-6, pts.p, pts.vmr, mag, 180.0),
+            lambda i: zp(
+                f_grid, pzcat, scene.pf, pts.t + jnp.float32(i) * 1e-6,
+                pts.p, pts.vmr, mag, 180.0,
+            ),
             iters=3,
         )
         extras["zeeman_pts_per_s"] = f_grid.shape[0] / dt_z
-        if zbackend == "pallas":
-            # on-chip guard for the polarized kernel (single point: the
-            # XLA variant at full profile depth is prohibitively slow);
-            # jitted — the axon eager path lacks some host ops
-            import functools
-
-            zp_one = jax.jit(
-                functools.partial(zeeman_propmat, backend="pallas")
-            )
+        if backend == "pallas":
+            # on-chip guard for the compiled parent-pole kernel vs the
+            # per-pseudo-line XLA path, at a narrow-line (top) and a
+            # pressure-broadened (bottom) point
             zx_one = jax.jit(
                 functools.partial(zeeman_propmat, backend="xla")
             )
-            pm_p = np.asarray(
-                zp_one(
-                    f_grid, zcat, scene.pf, pts.t[0], pts.p[0],
-                    pts.vmr[0], mag, 180.0,
+            g = 0.0
+            for zi_ in (0, -1):
+                sl = slice(zi_, zi_ + 1) if zi_ == 0 else slice(-1, None)
+                pm_p = np.asarray(
+                    zp(
+                        f_grid, pzcat, scene.pf, pts.t[sl], pts.p[sl],
+                        pts.vmr[sl], mag, 180.0,
+                    )
+                )[0]
+                pm_x = np.asarray(
+                    zx_one(
+                        f_grid, zcat, scene.pf, pts.t[zi_], pts.p[zi_],
+                        pts.vmr[zi_], mag, 180.0,
+                    )
                 )
-            )
-            pm_x = np.asarray(
-                zx_one(
-                    f_grid, zcat, scene.pf, pts.t[0], pts.p[0],
-                    pts.vmr[0], mag, 180.0,
-                )
-            )
-            extras["zeeman_pallas_vs_xla_maxdiff"] = float(
-                np.abs(pm_p - pm_x).max() / np.abs(pm_x).max()
-            )
+                g = max(g, float(np.abs(pm_p - pm_x).max() / np.abs(pm_x).max()))
+            extras["zeeman_pallas_vs_xla_maxdiff"] = g
     except Exception as e:
         extras["zeeman_error"] = str(e)[:120]
 
@@ -386,23 +513,58 @@ def f64_probe():
         # mode, so fast_linalg=True resolves to the pure-jnp fast path
         # (Jacobi eigh + unrolled solves + structured cyclic reduction).
         # The x64 rewriter cannot compile the CR graph at the full
-        # 4096-freq extent (tpu_compile_helper exit 1), so the f64
-        # pipeline is measured at 1024 freqs and labeled as such.
-        fp = f_grid[::4]
+        # 4096-freq extent in ONE program (tpu_compile_helper exit 1) —
+        # but each 1024-freq chunk compiles, so the FULL headline shape
+        # runs as 4 chunked solves + concatenation (VERDICT r3 item 3).
+        nchunk = 4
+        fchunks = jnp.split(f_grid, nchunk)
 
         def run(i):
-            fg = fp + jnp.float64(i)
-            k_gas = gas_absorption_profile(scene, fg, backend="xla_realpair")
-            return simulate_allsky(
-                scene, fg, nquad=16, nfourier=1, backend="xla_realpair",
-                fast_linalg=True, k_gas=k_gas,
-            ).flux_up
+            fl = []
+            for fc in fchunks:
+                fg = fc + jnp.float64(i)
+                k_gas = gas_absorption_profile(
+                    scene, fg, backend="xla_realpair"
+                )
+                fl.append(
+                    simulate_allsky(
+                        scene, fg, nquad=16, nfourier=1,
+                        backend="xla_realpair", fast_linalg=True,
+                        k_gas=k_gas,
+                    ).flux_up
+                )
+            return jnp.concatenate(fl, axis=0)
 
         dt_pipe = _timeit(run, iters=2)
-        out["pipeline"] = fp.shape[0] / dt_pipe
-        out["pipeline_shape"] = f"{fp.shape[0]} freqs"
+        out["pipeline"] = f_grid.shape[0] / dt_pipe
+        out["pipeline_shape"] = f"{f_grid.shape[0]} freqs (4 x 1024 chunks)"
     except Exception as e:
         out["pipeline_error"] = str(e)[:160]
+    try:
+        # f64 correctness guard: TPU-f64 (emulated) fluxes vs CPU-f64 on
+        # a reduced shape (VERDICT r3 item 3: record the claim)
+        fsub = f_grid[:: len(f_grid) // 256]
+
+        def flux(dev):
+            with jax.default_device(dev):
+                k_gas = gas_absorption_profile(
+                    scene, fsub, backend="xla_realpair"
+                )
+                return np.asarray(
+                    simulate_allsky(
+                        scene, fsub, nquad=16, nfourier=1,
+                        backend="xla_realpair", fast_linalg=True,
+                        k_gas=k_gas,
+                    ).flux_up
+                )
+
+        f_tpu = flux(jax.devices()[0])
+        f_cpu = flux(jax.devices("cpu")[0])
+        out["pipeline_f64_vs_cpu_maxdiff"] = float(
+            np.abs(f_tpu - f_cpu).max() / np.abs(f_cpu).max()
+        )
+    except Exception as e:
+        out["f64_guard_error"] = str(e)[:160]
     print(json.dumps(out))
 
 

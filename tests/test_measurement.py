@@ -301,3 +301,88 @@ def test_allsky_observer_camera():
             [np.interp(mu_v, mu_grid, u_toa[j]) for j in range(f.shape[0])]
         )
         np.testing.assert_allclose(y[i], ref, rtol=1e-6)
+
+
+def test_allsky_observer_azimuth_resolved_sun():
+    """Sun-present camera through the azimuth-resolved DISORT observer
+    (VERDICT r4 item 5): with a solar beam and nfourier > 1, each
+    geometry reads the Fourier-synthesized, TMS/IMS-corrected u at its
+    own (mu, phi) — the reference's spectral_radFromDisort interpolation
+    (src/m_disort.cc:91).  Radiance must vary with azimuth and match an
+    independent single-scattering calculation (exact HG phase + Beer
+    attenuation; the optically thin limit) within the multiple-scatter
+    residual ~ omega tau."""
+    import dataclasses as dc
+
+    import arts_tpu.constants as const
+    from arts_tpu.fwd_allsky import AllskyScene
+    from arts_tpu.path.geometry import PathGeometry
+    from arts_tpu.scattering import HenyeyGreenstein
+    from arts_tpu.sensor.observers import allsky_observer
+    from arts_tpu.sensor.measurement import (
+        _simulate_batch,
+        stack_azimuths,
+        stack_paths,
+    )
+    from tests.test_clearsky import SCENE as CK
+
+    # thin HG layer, no gas, no thermal: single scattering dominates
+    z = np.asarray(CK.atm.z)
+    g = 0.6
+    dz = float(z[(z > 2e3) & (z < 6e3)].size * np.diff(z).mean())
+    ext = np.where((z > 2e3) & (z < 6e3), 0.01 / dz, 0.0)
+    # the optical depth the solver integrates (layer midpoints)
+    tau_tot = float((0.5 * (ext[1:] + ext[:-1]) * np.diff(z)).sum())
+    cloud = HenyeyGreenstein(
+        ext=jnp.asarray(ext),
+        ssa=jnp.full(z.shape, 0.5),
+        g=jnp.full(z.shape, g),
+    )
+    scene = AllskyScene(
+        atm=CK.atm, cat=None, pf=None, scatterers=(cloud,),
+        surface_temperature=jnp.asarray(288.0),
+    )
+    f = jnp.asarray([220e9])
+    mu0, fbeam, phi0 = 0.6, float(np.pi), 0.0
+
+    # satellite camera: fixed oblique view, several azimuths
+    za_look = 140.0  # looking down; propagation mu = -cos(za) = 0.766
+    azimuths = [0.0, 60.0, 120.0, 180.0]
+    paths = [
+        PathGeometry(
+            alt=np.asarray([80e3, 0.0]), s=np.asarray([0.0, 80e3]),
+            za=np.asarray([za_look, za_look]), background="surface",
+            aa=a,
+        )
+        for a in azimuths
+    ]
+    obs = allsky_observer(
+        nquad=16, nfourier=16, nleg=32, mu0=mu0, fbeam=fbeam, phi0=phi0,
+        thermal=False,
+    )
+    assert obs.wants_azimuth
+    alts, drs, zas, bgs = stack_paths(paths)
+    I = np.asarray(
+        _simulate_batch(scene, f, alts, drs, zas, ["surface"] * len(paths),
+                        observer=obs, aas=stack_azimuths(paths))
+    )[:, 0]
+
+    # independent single-scattering cross-check (test_tms conventions:
+    # cos Theta = -mu mu0 + sqrt((1-mu^2)(1-mu0^2)) cos(phi - phi0))
+    mu = -np.cos(np.deg2rad(za_look))
+    omega = 0.5
+    a_sum = 1.0 / mu + 1.0 / mu0
+    expect = []
+    for aa in azimuths:
+        ct = -mu * mu0 + np.sqrt((1 - mu**2) * (1 - mu0**2)) * np.cos(
+            np.deg2rad(aa - phi0)
+        )
+        phase = (1 - g**2) / (1 + g**2 - 2 * g * ct) ** 1.5
+        expect.append(
+            omega * phase * fbeam / (4 * np.pi * (1 + mu / mu0))
+            * (1 - np.exp(-tau_tot * a_sum))
+        )
+    expect = np.asarray(expect)
+    # azimuth variation present and matching the phase function shape
+    assert I.std() / I.mean() > 0.1
+    np.testing.assert_allclose(I, expect, rtol=0.05)

@@ -340,3 +340,115 @@ def test_oem_recovers_line_parameters():
         (x[:L] - 1.0), (x_true[:L] - 1.0), rtol=0.01
     )
     np.testing.assert_allclose(x[L:], x_true[L:], atol=0.01)
+
+
+# ---- cloud-parameter retrieval through the DISORT pipeline (VERDICT r4
+# item 4): the reference's Jacobian targets cover ScatteringSpeciesProperty
+# keys in the atmosphere field (src/core/atm/atm_field.h:44 +
+# src/core/jacobian/jacobian.h:60-120 AtmTarget); here the scattering leaf
+# is the HabitProfile water-content profile and the Jacobian is autodiff
+# straight through the PSD + habit optics + DISORT solve.
+
+
+def _cloud_scene():
+    from tests.test_allsky import F as F_ALLSKY
+    from tests.test_allsky import allsky_scene, make_habit
+    from arts_tpu.fwd_allsky import HabitProfile
+    from arts_tpu.scattering import MGDSingleMoment, ScatteringHabit
+
+    z = np.asarray(SCENE.atm.z)
+    cloud_idx = np.nonzero((z > 3e3) & (z < 7e3))[0]
+    wc = jnp.where((z > 3e3) & (z < 7e3), 1e-4, 0.0)
+    hp = HabitProfile(
+        habit_psd=ScatteringHabit(habit=make_habit(), psd=MGDSingleMoment.from_name("Wang16")),
+        wc=wc,
+    )
+    return allsky_scene([hp]), F_ALLSKY, jnp.asarray(cloud_idx)
+
+
+def _cloud_measurement(scene, f):
+    from arts_tpu.fwd_allsky import simulate_allsky
+
+    out = simulate_allsky(scene, f, nquad=8)
+    # TOA upwelling flux + most-nadir TOA radiance: sensitive to both the
+    # cloud scattering and the surface temperature below it
+    return jnp.concatenate([out.flux_up[:, 0], out.u0[:, 0, -1]])
+
+
+def test_oem_recovers_cloud_water_profile():
+    """OEM retrieves a perturbed HabitProfile wc profile (log space)
+    through the XLA DISORT path, alongside the surface temperature —
+    the cloud/hydrometeor analogue of full_optimal_estimation.py."""
+    scene0, f, cloud_idx = _cloud_scene()
+
+    def get_wc(s):
+        return s.scatterers[0].wc[cloud_idx]
+
+    def set_wc(s, v):
+        hp = dataclasses.replace(
+            s.scatterers[0], wc=s.scatterers[0].wc.at[cloud_idx].set(v)
+        )
+        return dataclasses.replace(s, scatterers=(hp,))
+
+    def get_ts(s):
+        return s.surface_temperature[None]
+
+    def set_ts(s, v):
+        return dataclasses.replace(s, surface_temperature=v[0])
+
+    targets = [
+        RetrievalTarget("cloud_wc", get_wc, set_wc, transform="log"),
+        RetrievalTarget("t_surface", get_ts, set_ts, transform="id"),
+    ]
+    mapping = StateMapping(targets=targets, ref_scene=scene0)
+    nc = cloud_idx.size
+    n = mapping.n_state
+    assert n == nc + 1
+
+    # truth: wc x1.6 bump in mid-cloud, surface 2 K warmer
+    x_a = mapping.to_vector(scene0)
+    zc = np.asarray(SCENE.atm.z)[np.asarray(cloud_idx)]
+    bump = 1.0 + 0.6 * np.exp(-0.5 * ((zc - 5e3) / 1.5e3) ** 2)
+    x_true = x_a.at[:nc].add(jnp.log(jnp.asarray(bump)))
+    x_true = x_true.at[nc].add(2.0)
+    y_true = _cloud_measurement(mapping.to_scene(x_true), f)
+
+    noise = 1e-4 * float(jnp.abs(y_true).mean())
+    S_e = jnp.full((y_true.size,), noise**2)
+    d = np.abs(zc[:, None] - zc[None, :])
+    S_a = np.zeros((n, n))
+    S_a[:nc, :nc] = 0.5**2 * np.exp(-d / 3e3)  # 50% sd, correlated
+    S_a[nc, nc] = 5.0**2  # 5 K sd on the surface
+    S_a = jnp.asarray(S_a)
+
+    def forward(x):
+        return _cloud_measurement(mapping.to_scene(x), f)
+
+    res = oem(forward, x_a, y_true, S_a, S_e, method="gn", max_iter=12)
+    assert res.converged
+    x = np.asarray(res.x)
+    # cloud water recovered within 2% (log space -> relative)
+    np.testing.assert_allclose(x[:nc], np.asarray(x_true)[:nc], atol=0.02)
+    # surface temperature alongside, within 0.2 K
+    np.testing.assert_allclose(x[nc], float(x_true[nc]), atol=0.2)
+
+
+def test_disort_flux_gradient_wrt_cloud_water_fd():
+    """d(TOA flux_up)/d(wc scale): autodiff through PSD + habit optics +
+    DISORT vs central finite differences."""
+    scene0, f, cloud_idx = _cloud_scene()
+
+    def toa_flux(scale):
+        hp = dataclasses.replace(
+            scene0.scatterers[0], wc=scene0.scatterers[0].wc * scale
+        )
+        s = dataclasses.replace(scene0, scatterers=(hp,))
+        from arts_tpu.fwd_allsky import simulate_allsky
+
+        return simulate_allsky(s, f, nquad=8).flux_up[:, 0].sum()
+
+    g = float(jax.grad(toa_flux)(1.0))
+    h = 1e-3
+    fd = float((toa_flux(1.0 + h) - toa_flux(1.0 - h)) / (2 * h))
+    np.testing.assert_allclose(g, fd, rtol=2e-3)
+    assert abs(g) > 0.0

@@ -115,9 +115,10 @@ def simulate_clearsky(
     given, the path background becomes the solar photosphere radiance
     when the viewing direction at the path end hits the solar disk.
     `scattered_sun=True` adds the single-Rayleigh-scattering solar source
-    along the path (plane-parallel attenuation of the sun leg, the same
-    approximation as the DISORT beam; the reference's refracted
-    find_sun_path geometry refines this) and the Rayleigh air extinction.
+    along the path — the sun leg is attenuated along its true
+    spherical-shell geometric path per scatter point (sun_leg_tau; the
+    reference's find_sun_path, geometric variant) — plus the Rayleigh
+    air extinction on the main path.
     """
     pts = scene.atm.at(path_alt)  # batched over path points
 
@@ -181,9 +182,13 @@ def simulate_clearsky(
     if sun is not None and scattered_sun:
         # first-order Rayleigh scattered sun (m_sun.cc:306-436): per path
         # point, the transmitted solar radiance scatters into the LOS.
-        # Sun-leg attenuation is plane-parallel through the scene's level
-        # grid (the DISORT-beam approximation); the scattering operator
-        # is the Rayleigh phase matrix's intensity row and AirSimple air.
+        # Sun-leg attenuation follows the true spherical-shell geometric
+        # path to the sun per scatter point (the reference's
+        # find_sun_path, src/sun_methods.cc:178-239): below-horizon legs
+        # with a positive tangent altitude still see the sun (twilight),
+        # where plane-parallel exp(-tau/mu) breaks; the scattering
+        # operator is the Rayleigh phase matrix's intensity row and
+        # AirSimple air.
         from .rtepack.scattering import (
             rayleigh_scat_airsimple,
             rayleigh_scattering,
@@ -198,21 +203,12 @@ def simulate_clearsky(
             lambda pp, tt: rayleigh_scat_airsimple(f_grid, pp, tt)
         )(lv.p, lv.t)
         kx = k_lvl + k_ray_lvl
-        dz = jnp.diff(zg)
-        seg = 0.5 * (kx[1:] + kx[:-1]) * dz[:, None]  # [Z-1, F]
-        # tau from level j up to TOA
-        tau_toa = jnp.concatenate(
-            [jnp.cumsum(seg[::-1], 0)[::-1], jnp.zeros((1,) + f_grid.shape)],
-            0,
-        )  # [Z, F]
-        idx = jnp.clip(jnp.searchsorted(zg, path_alt) - 1, 0, zg.shape[0] - 2)
-        wgt = (path_alt - zg[idx]) / (zg[idx + 1] - zg[idx])
-        tau_p = tau_toa[idx] * (1.0 - wgt[:, None]) + tau_toa[idx + 1] * wgt[:, None]
-        mu_sun = jnp.cos(jnp.deg2rad(jnp.asarray(sun_za, f_grid.dtype)))
-        above = mu_sun > 1e-6
-        t_sun = jnp.where(
-            above, jnp.exp(-tau_p / jnp.where(above, mu_sun, 1.0)), 0.0
-        )  # [np, F]
+        k_mid = 0.5 * (kx[1:] + kx[:-1])  # [Z-1, F]
+        tau_p, visible = sun_leg_tau(
+            zg, k_mid, jnp.asarray(path_alt, f_grid.dtype),
+            jnp.asarray(sun_za, f_grid.dtype),
+        )
+        t_sun = jnp.where(visible[:, None], jnp.exp(-tau_p), 0.0)  # [np, F]
 
         k_ray_p = jax.vmap(
             lambda pp, tt: rayleigh_scat_airsimple(f_grid, pp, tt)
@@ -285,6 +281,47 @@ def simulate_clearsky(
 
     with jax.named_scope("rte_emission"):
         return _emission_fn(rte_option)(k, J, r, I0)
+
+
+def sun_leg_tau(z_levels, k_mid, alt, sun_za_deg, radius=None):
+    """Optical depth along the geometric sun leg from each altitude.
+
+    The spherical-shell analogue of the reference's find_sun_path
+    (src/sun_methods.cc:178-239): from a point at ``alt`` with local sun
+    zenith angle ``sun_za_deg``, the ray has impact parameter
+    p = (R + alt) sin(za); its crossing of shell z sits at slant
+    coordinate S(z) = sqrt((R + z)^2 - p^2), so per-shell slant lengths
+    are S-differences and tau is one [np, Z-1] @ [Z-1, F] contraction.
+    Rays with za > 90 descend to the tangent altitude p - R first: when
+    that is positive the sun is still visible (twilight geometry, where
+    plane-parallel exp(-tau/mu) is 0 or diverges) and
+    tau = 2 tau_full - tau_up; when it is negative the planet blocks
+    the leg.  Geometric only (no refraction).
+
+    z_levels: [Z] ascending; k_mid: [Z-1, F] mid-layer extinction;
+    alt: [np]; sun_za_deg: scalar or [np].
+    Returns (tau [np, F], visible [np] bool).
+    """
+    if radius is None:
+        from .path.geometry import EARTH_RADIUS as radius
+    za = jnp.deg2rad(jnp.broadcast_to(jnp.asarray(sun_za_deg), alt.shape))
+    r_a = radius + alt
+    p_imp = r_a * jnp.sin(za)  # [np]
+    r_l = radius + z_levels  # [Z]
+    S = jnp.sqrt(
+        jnp.maximum(r_l[None, :] ** 2 - p_imp[:, None] ** 2, 0.0)
+    )  # [np, Z]
+    Sa = jnp.sqrt(jnp.maximum(r_a**2 - p_imp**2, 0.0))  # [np]
+    seg_up = jnp.maximum(
+        S[:, 1:] - jnp.maximum(S[:, :-1], Sa[:, None]), 0.0
+    )  # [np, Z-1]
+    seg_full = jnp.maximum(S[:, 1:] - S[:, :-1], 0.0)
+    tau_up = seg_up @ k_mid  # [np, F]
+    tau_full = seg_full @ k_mid
+    desc = za > jnp.pi / 2
+    tau = jnp.where(desc[:, None], 2.0 * tau_full - tau_up, tau_up)
+    visible = (~desc) | (p_imp > radius)
+    return tau, visible
 
 
 def simulate_clearsky_bt(scene, f_grid, path_alt, path_dr, background="space"):

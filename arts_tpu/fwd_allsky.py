@@ -154,7 +154,7 @@ def simulate_allsky(
     phis: tuple = (),
     block: int = 256,
     backend: str = "xla",
-    fast_linalg: bool = False,
+    fast_linalg: bool | None = None,
     k_gas=None,
     thermal: bool = True,
     intensity_correction: bool = False,

@@ -443,6 +443,10 @@ def _voigt_kernel_pol(
                 pw_ref[:, :], contrib,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                # full f32: the default single bf16 pass costs ~4e-4 of
+                # the component mix (this kernel is no longer the Zeeman
+                # hot path — the parent-pole kernel is — so accuracy wins)
+                precision=jax.lax.Precision.HIGHEST,
             )
 
         @pl.when(sub_on & deep)

@@ -51,7 +51,7 @@ def polarized_observer(component: int = 0, **kw):
 
 
 def allsky_observer(nquad: int = 16, nfourier: int = 1, level: str = "toa",
-                    fast_linalg: bool = False, **kw):
+                    fast_linalg: bool | None = None, **kw):
     """DISORT-background observer: ONE radiation-field solve per
     (scene, f_grid) group, interpolated to each geometry's viewing angle
     (the reference's disort_spectral_rad_field + interpolating observer,

@@ -234,7 +234,13 @@ def lbl_roofline(scene, f_grid, lbl_seconds):
         )(x)
 
     x = jnp.linspace(0.9, 1.1, N, dtype=jnp.float32).reshape(8, -1)
-    dt = _timeit(lambda i: fma(x + jnp.float32(i) * 1e-9), iters=10)
+    # vary inputs MEANINGFULLY (x + 1e-9 is a bit-identical no-op in f32
+    # and the axon tunnel dedups identical executions); take the best of
+    # a few short timing runs — peak measurement wants the min
+    dt = min(
+        _timeit(lambda i: fma(x * (1.0 + jnp.float32(i) * 1e-6)), iters=4)
+        for _ in range(3)
+    )
     peak = N * ITERS * 2 / dt / 1e12
     achieved = gflop / 1e3 / lbl_seconds
     return {
@@ -348,27 +354,37 @@ def main():
         extras["roofline_error"] = str(e)[:160]
     try:  # on-chip numeric guard for the fused DISORT path: the headline
         # runs the three-kernel Mosaic artifact (fast_linalg=True on TPU);
-        # compare fluxes AND the radiance fields u0/u against the plain
-        # XLA solve (observers consume u0/u — VERDICT r3 item 7)
+        # compare fluxes AND the radiance field u0 (observers consume it,
+        # VERDICT r3 item 7) against the CPU LAPACK solve on a frequency
+        # subset — NOT the on-chip XLA path, whose f32 eigh custom call
+        # is itself unreliable for radiances (u0 errors up to several
+        # 100% measured on heterogeneous layers)
         if backend == "pallas":
-            k_gas = gas_absorption_profile(scene, f_grid, backend=backend)
+            fsub = f_grid[:: max(1, f_grid.shape[0] // 256)]
+            k_gas = gas_absorption_profile(scene, fsub, backend=backend)
             o_fused = simulate_allsky(
-                scene, f_grid, nquad=16, nfourier=1, backend=backend,
+                scene, fsub, nquad=16, nfourier=1, backend=backend,
                 fast_linalg=True, k_gas=k_gas,
             )
-            o_xla = simulate_allsky(
-                scene, f_grid, nquad=16, nfourier=1, backend=backend,
-                fast_linalg=False, k_gas=k_gas,
+            cpu = jax.devices("cpu")[0]
+            put = lambda t: jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, cpu)
+                if hasattr(x, "dtype") else x, t
+            )
+            o_cpu = simulate_allsky(
+                put(scene), jax.device_put(fsub, cpu), nquad=16,
+                nfourier=1, backend="xla", fast_linalg=False,
+                k_gas=jax.device_put(k_gas, cpu),
             )
             rel = lambda a, b: float(
                 np.abs(np.asarray(a) - np.asarray(b)).max()
                 / np.abs(np.asarray(b)).max()
             )
-            extras["disort_fused_vs_xla_maxdiff"] = rel(
-                o_fused.flux_up, o_xla.flux_up
+            extras["disort_fused_vs_cpu_maxdiff"] = rel(
+                o_fused.flux_up, o_cpu.flux_up
             )
-            extras["disort_fused_vs_xla_u0_maxdiff"] = rel(
-                o_fused.u0, o_xla.u0
+            extras["disort_fused_vs_cpu_u0_maxdiff"] = rel(
+                o_fused.u0, o_cpu.u0
             )
     except Exception as e:
         extras["disort_guard_error"] = str(e)[:160]

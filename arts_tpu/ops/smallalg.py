@@ -15,7 +15,12 @@ import jax.numpy as jnp
 
 
 def solve_unrolled(A, B):
-    """X with A @ X = B. A: [..., n, n], B: [..., n, k] (or [..., n])."""
+    """X with A @ X = B. A: [..., n, n], B: [..., n, k] (or [..., n]).
+
+    Partial pivoting via batched selects (static row structure): DISORT's
+    block systems contain EXACT zeros for purely absorbing layers
+    (omega = 0 decouples the up/down eigenvector blocks), which zero the
+    natural pivots — the unpivoted elimination NaN'd there."""
     vec = B.ndim == A.ndim - 1
     if vec:
         B = B[..., None]
@@ -24,6 +29,21 @@ def solve_unrolled(A, B):
     rows_A = [A[..., i, :] for i in range(n)]
     rows_B = [B[..., i, :] for i in range(n)]
     for i in range(n):
+        if i < n - 1:
+            col = jnp.stack(
+                [jnp.abs(rows_A[j][..., i]) for j in range(i, n)], axis=-1
+            )
+            p = jnp.argmax(col, axis=-1)  # offset of the pivot row
+            piv_A = rows_A[i]
+            piv_B = rows_B[i]
+            for j in range(i + 1, n):
+                take = (p == (j - i))[..., None]
+                piv_A = jnp.where(take, rows_A[j], piv_A)
+                piv_B = jnp.where(take, rows_B[j], piv_B)
+                rows_A[j] = jnp.where(take, rows_A[i], rows_A[j])
+                rows_B[j] = jnp.where(take, rows_B[i], rows_B[j])
+            rows_A[i] = piv_A
+            rows_B[i] = piv_B
         inv = 1.0 / rows_A[i][..., i]
         rows_A[i] = rows_A[i] * inv[..., None]
         rows_B[i] = rows_B[i] * inv[..., None]

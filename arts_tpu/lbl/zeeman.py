@@ -418,7 +418,7 @@ def zeeman_propmat_profile(
     los_aa_deg=0.0,
     mp_terms: int = 5,
     mp_kappa: float = 6.0,
-    tf: int = 1024,
+    tf: int = 2048,
     pb: int = 256,
     noff: int = 6,
     interpret: bool = False,

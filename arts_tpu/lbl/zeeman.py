@@ -350,26 +350,41 @@ def tune_zeeman_kernel(
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class PaddedZeemanCatalog:
-    """Pole-major Zeeman layout for the TPU parent-pole path.
+    """Bucketed component-major Zeeman layout for the TPU parent-pole path.
 
-    Each pole is one parent line (or a co-located half of a parent with
-    more than cmax components); its Zeeman components live in a fixed
-    [NP, CM] slot grid (strength 0 padding).  Dense slot sums replace
-    pseudo-line gathers and segment reductions, which dominate the
-    runtime of the ragged layout on TPU."""
+    Each pole is one parent line (or a co-located chunk of a parent with
+    more than the largest bucket's components); its Zeeman components
+    live in a [CM, NP] slot grid (strength 0 padding), where CM is the
+    smallest bucket size covering the parent's component count.  Dense
+    slot sums replace pseudo-line gathers and segment reductions, which
+    dominate the runtime of the ragged layout on TPU; bucketing by
+    component count removes the 2-3x slot-padding waste a single cmax
+    grid pays (typical catalogs mix 3-component H2O parents with
+    100+-component high-J O2 parents), and component-major order keeps
+    the pad on the 8-wide sublane axis instead of the 128-wide lanes."""
 
     cat: LineCatalog
-    parent: jax.Array    # [NP] int32 line index of each pole
-    split: jax.Array     # [NP, CM] splitting coefficients [Hz/T]
-    strength: jax.Array  # [NP, CM] relative strengths (0 = padding)
-    polidx: jax.Array    # [NP, CM] int32 polarization 0/1/2 (pi, sm, sp)
+    parent: tuple   # per bucket: [NP_b] int32 line index of each pole
+    split: tuple    # per bucket: [CM_b, NP_b] splitting coeffs [Hz/T]
+    strength: tuple  # per bucket: [CM_b, NP_b] rel strengths (0 = pad)
+    polidx: tuple   # per bucket: [CM_b, NP_b] int32 pol 0/1/2 (pi,sm,sp)
 
 
-def pad_zeeman_catalog(zcat: ZeemanCatalog, cmax: int = 64):
+def pad_zeeman_catalog(
+    zcat: ZeemanCatalog,
+    cmax: int | None = None,
+    buckets: tuple = (4, 16, 64, 128),
+):
     """Host-side conversion ZeemanCatalog -> PaddedZeemanCatalog.
 
-    Parents with more than cmax components are split into several
-    co-located poles (identical centers; the expansion is additive)."""
+    Each parent goes to the smallest bucket holding its component
+    count; parents beyond the largest bucket are split into several
+    co-located poles (identical centers; the expansion is additive).
+    cmax forces the single-bucket legacy layout."""
+    if cmax is not None:
+        buckets = (int(cmax),)
+    buckets = tuple(sorted(set(int(b) for b in buckets)))
+    bmax = buckets[-1]
     n = int(zcat.cat.f0.shape[0])
     per_parent = [[] for _ in range(n)]
     for p_i in range(len(POLS)):
@@ -378,27 +393,41 @@ def pad_zeeman_catalog(zcat: ZeemanCatalog, cmax: int = 64):
         st = np.asarray(zcat.strength[p_i])
         for k in range(idx.shape[0]):
             per_parent[int(idx[k])].append((spl[k], st[k], p_i))
-    parents, rows = [], []
+    groups = {b: [] for b in buckets}  # bucket -> [(parent, comps)]
     for p in range(n):
         comps = per_parent[p]
-        for o in range(0, max(len(comps), 1), cmax):
-            parents.append(p)
-            rows.append(comps[o:o + cmax])
-    NP = len(parents)
-    split = np.zeros((NP, cmax))
-    strength = np.zeros((NP, cmax))
-    polidx = np.zeros((NP, cmax), np.int32)
-    for r, comps in enumerate(rows):
-        for c, (sp, st, p_i) in enumerate(comps):
-            split[r, c] = sp
-            strength[r, c] = st
-            polidx[r, c] = p_i
+        if len(comps) <= bmax:
+            b = next(bb for bb in buckets if len(comps) <= bb)
+            groups[b].append((p, comps))
+        else:
+            for o in range(0, len(comps), bmax):
+                groups[bmax].append((p, comps[o:o + bmax]))
+    parent_t, split_t, strength_t, polidx_t = [], [], [], []
+    for b in buckets:
+        rows = groups[b]
+        if not rows:
+            continue
+        NP = len(rows)
+        split = np.zeros((b, NP))
+        strength = np.zeros((b, NP))
+        polidx = np.zeros((b, NP), np.int32)
+        for r, (p, comps) in enumerate(rows):
+            for c, (sp, st, p_i) in enumerate(comps):
+                split[c, r] = sp
+                strength[c, r] = st
+                polidx[c, r] = p_i
+        parent_t.append(
+            jnp.asarray(np.asarray([p for p, _ in rows], np.int32))
+        )
+        split_t.append(jnp.asarray(split))
+        strength_t.append(jnp.asarray(strength))
+        polidx_t.append(jnp.asarray(polidx))
     return PaddedZeemanCatalog(
         cat=zcat.cat,
-        parent=jnp.asarray(np.asarray(parents, np.int32)),
-        split=jnp.asarray(split),
-        strength=jnp.asarray(strength),
-        polidx=jnp.asarray(polidx),
+        parent=tuple(parent_t),
+        split=tuple(split_t),
+        strength=tuple(strength_t),
+        polidx=tuple(polidx_t),
     )
 
 
@@ -450,60 +479,69 @@ def zeeman_propmat_profile(
             "once at scene build with pad_zeeman_catalog(zcat)"
         )
     cat = zcat.cat
-    parent = zcat.parent  # [NP]
     H, theta, eta = magnetic_angles(mag, los_za_deg, los_aa_deg)
     npm = pol_matrices(theta, eta)
     pw_tab = jnp.stack([npm[pol] for pol in POLS])  # [3, 7]
-    pw_k = pw_tab[zcat.polidx]  # [NP, CM, 7]
     cut_parent = jnp.where(jnp.isfinite(cat.cutoff), cat.cutoff, 1e30)
-    cut_p = cut_parent[parent]  # [NP]
-    iso_mass_p = cat.iso_mass[parent]
+    wn = 16 if f_grid.dtype == jnp.float32 else 24
 
     def level(Tz, Pz, vz):
         ls = lineshape_params(cat, Tz, Pz, vz)
         s, f0s, inv_gd, z_imag = line_strengths(cat, pf, Tz, Pz, vz, ls)
-        f0_k = f0s[parent][:, None] + H * zcat.split  # [NP, CM]
-        gd_part = jnp.sqrt(
-            const.doppler_broadening_const_squared * Tz / iso_mass_p
-        )
-        igd_k = 1.0 / (gd_part[:, None] * f0_k)
-        zi_k = ls[parent, 0][:, None] * igd_k
-        s_k = zcat.strength * s[parent][:, None] * (
-            igd_k / inv_gd[parent][:, None]
-        )
-        sr_k, si_k = jnp.real(s_k), jnp.imag(s_k)
-        return f0_k, igd_k, zi_k, sr_k, si_k
+        return s, f0s, inv_gd, ls[:, 0]
 
-    f0_k, igd_k, zi_k, sr_k, si_k = jax.vmap(level)(T, P, vmr)
-    # real-pair w(z) (no complex dtypes, cheaper than the complex
-    # Weideman) for the cutoff-subtraction constants; evaluated on the
-    # stacked [Z, NP, CM] arrays OUTSIDE the level vmap
-    # (pl.reciprocal inside _wofz_parts has no vmap batching rule)
-    wcr, wci = _wofz_parts(
-        igd_k * cut_p[None, :, None], zi_k,
-        16 if f_grid.dtype == jnp.float32 else 24,
-    )
-    swc_k = sr_k * wcr - si_k * wci
+    s_l, f0_l, igd_l, g0_l = jax.vmap(level)(T, P, vmr)  # [Z, L]
+    gd_c = jnp.sqrt(
+        const.doppler_broadening_const_squared
+        * T[:, None] / cat.iso_mass[None, :]
+    )  # [Z, L]
 
     anchor = jnp.mean(f_grid)
-    mom = jax.vmap(
-        lambda f0z, igdz, ziz, srz, siz, swcz: zeeman_pole_moments(
-            f0z - anchor, igdz, ziz, srz, siz, swcz, pw_k,
-            mp_terms, mp_kappa,
+    # per component-count bucket (pad_zeeman_catalog): strength algebra,
+    # cutoff-subtraction w(z) (real-pair — no complex dtypes, and
+    # outside any vmap: pl.reciprocal inside _wofz_parts has no vmap
+    # batching rule) and pole moments on that bucket's [Z, CM_b, NP_b]
+    # grid; the per-pole results concatenate for one kernel launch
+    moms, bucket_grids = [], []
+    for parent_b, split_b, strength_b, polidx_b in zip(
+        zcat.parent, zcat.split, zcat.strength, zcat.polidx
+    ):
+        pw_k = pw_tab[polidx_b]  # [CM_b, NP_b, 7]
+        cut_b = cut_parent[parent_b]  # [NP_b]
+        at = lambda x: x[:, parent_b][:, None, :]  # [Z, L] -> [Z, 1, NP_b]
+        f0_k = at(f0_l) + H * split_b[None]  # [Z, CM_b, NP_b]
+        igd_k = 1.0 / (at(gd_c) * f0_k)
+        zi_k = at(g0_l) * igd_k
+        s_k = strength_b[None] * at(s_l) * (igd_k / at(igd_l))
+        sr_k, si_k = jnp.real(s_k), jnp.imag(s_k)
+        wcr, wci = _wofz_parts(igd_k * cut_b[None, None, :], zi_k, wn)
+        swc_k = sr_k * wcr - si_k * wci
+        moms.append(
+            jax.vmap(
+                lambda f0z, igdz, ziz, srz, siz, swcz: zeeman_pole_moments(
+                    f0z - anchor, igdz, ziz, srz, siz, swcz, pw_k,
+                    mp_terms, mp_kappa,
+                )
+            )(f0_k, igd_k, zi_k, sr_k, si_k, swc_k)
         )
-    )(f0_k, igd_k, zi_k, sr_k, si_k, swc_k)
+        bucket_grids.append((cut_b, f0_k, igd_k, zi_k, sr_k, si_k, pw_k))
+    catp = lambda key: jnp.concatenate([m[key] for m in moms], axis=1)
 
     out = zeeman_mp_eval(
-        f_grid - anchor, mom["c_re"], mom["g0"], mom["R"], mom["rnear2"],
-        cut_p, mom["M_re"], mom["M_im"], mom["swcsum"],
+        f_grid - anchor, catp("c_re"), catp("g0"), catp("R"),
+        catp("rnear2"),
+        jnp.concatenate([g[0] for g in bucket_grids]),
+        catp("M_re"), catp("M_im"), catp("swcsum"),
         terms=mp_terms, tf=tf, pb=pb, interpret=interpret,
     )
-    out = near_correction(
-        f_grid - anchor, out, mom["c_re"], mom["g0"], mom["rnear"], cut_p,
-        f0_k - anchor, igd_k, zi_k, sr_k, si_k, pw_k,
-        noff=noff,
-        wofz_n=16 if f_grid.dtype == jnp.float32 else 24,
-    )
+    for mom, (cut_b, f0_k, igd_k, zi_k, sr_k, si_k, pw_k) in zip(
+        moms, bucket_grids
+    ):
+        out = near_correction(
+            f_grid - anchor, out, mom["c_re"], mom["g0"], mom["rnear"],
+            cut_b, f0_k - anchor, igd_k, zi_k, sr_k, si_k, pw_k,
+            noff=noff, wofz_n=wn,
+        )
     scl = -f_grid[None, :] * jnp.expm1(
         -(const.h * f_grid[None, :]) / (const.k * T[:, None])
     )  # [Z, F]
@@ -521,7 +559,9 @@ def tune_zeeman_profile(
     df = np.diff(fg).min() if fg.size > 1 else 1.0
     if pzcat is not None:
         H_ref = 1e-4  # conservative field bound [T]
-        spread = np.abs(np.asarray(pzcat.split)).max() * H_ref
+        spread = max(
+            float(np.abs(np.asarray(s)).max()) for s in pzcat.split
+        ) * H_ref
         m_min = float(np.asarray(pzcat.cat.iso_mass).min())
     else:
         spread, m_min = 6e7, 2.0 * 1.66e-27

@@ -18,7 +18,8 @@ component (lbl_lineshape_voigt_lte.cpp:1652).
 Pipeline (all shapes static):
   1. `zeeman_pole_moments` (XLA): per-level per-pole complex moments
      M_j[c] via dense slot sums over the padded component grid
-     (lbl.zeeman.pad_zeeman_catalog); pole centers
+     (lbl.zeeman.pad_zeeman_catalog — component-major [CM, NP] buckets
+     sized to the per-parent component counts); pole centers
      c_p = f0s_p - i G0_p (components share the parent's broadening), a
      scale R_p >= component spread, and a near radius
      r_p = max(kappa R_p, R_p + sqrt(2*ASYM_R2)/igd) guaranteeing both
@@ -52,16 +53,19 @@ def zeeman_pole_moments(
     f0_k, igd_k, zi_k, sr_k, si_k, swc_k, pw_k,
     terms: int, kappa: float,
 ):
-    """Per-pole expansion data from the padded [NP, CM] component grid.
+    """Per-pole expansion data from a padded [CM, NP] component grid.
 
     Dense slot reductions (padding has strength 0) — the ragged
     pseudo-line layout needed gathers + segment scatters, which dominate
-    on TPU.  pw_k: [NP, CM, C].  Returns dict of [NP(, ...)] arrays.
+    on TPU.  Component-MAJOR layout: the slot axis rides the sublanes
+    and the (large) pole axis the lanes, so small-CM buckets
+    (lbl.zeeman.pad_zeeman_catalog) pad to 8 sublanes instead of 128
+    lanes.  pw_k: [CM, NP, C].  Returns dict of [NP(, ...)] arrays.
     """
     mask = sr_k != 0.0
-    cnt = jnp.maximum(jnp.sum(mask, axis=1).astype(f0_k.dtype), 1.0)
+    cnt = jnp.maximum(jnp.sum(mask, axis=0).astype(f0_k.dtype), 1.0)
     igd_s = jnp.where(igd_k > 0, igd_k, 1.0)
-    msum = lambda x: jnp.sum(jnp.where(mask, x, 0.0), axis=1)
+    msum = lambda x: jnp.sum(jnp.where(mask, x, 0.0), axis=0)
     c_re = msum(f0_k) / cnt
     G0_k = zi_k / igd_s
     G0_p = msum(G0_k) / cnt  # shared per parent
@@ -71,15 +75,15 @@ def zeeman_pole_moments(
     # R floor = the pole's Doppler width: igd R >= 1 keeps the scaled
     # Laurent strengths (1/(igd R))^(2k+1) and the powers u^j within f32
     # range (a 1 Hz floor overflows them for single-component parents)
-    dp = jnp.where(mask, f0_k - c_re[:, None], 0.0)
+    dp = jnp.where(mask, f0_k - c_re[None, :], 0.0)
     R = jnp.maximum(
-        jnp.sqrt(jnp.max(dp * dp, axis=1)), 1.0 / igd_ps
+        jnp.sqrt(jnp.max(dp * dp, axis=0)), 1.0 / igd_ps
     )
-    q = dp / R[:, None]  # real, |q| <= 1
+    q = dp / R[None, :]  # real, |q| <= 1
 
     # per-component Laurent strengths b_k = i s c_k / (igd R)^(2k+1),
     # scaled by R^-(2k+1) so moments stay O(1) in f32
-    igdR = jnp.maximum(igd_k * R[:, None], 1e-3)
+    igdR = jnp.maximum(igd_k * R[None, :], 1e-3)
     A = []
     for k in range(3):
         scale = _LAURENT_C[k] / igdR ** (2 * k + 1) * _INV_SQRT_PI
@@ -91,7 +95,7 @@ def zeeman_pole_moments(
     for _ in range(terms - 1):
         qp.append(qp[-1] * q)
     wsum = lambda x: jnp.einsum(
-        "pk,pkc->pc", jnp.where(mask, x, 0.0), pw_k,
+        "kp,kpc->pc", jnp.where(mask, x, 0.0), pw_k,
         precision=jax.lax.Precision.HIGHEST,
     )
     M_re, M_im = [], []
@@ -293,11 +297,12 @@ def near_correction(
     pole's near radius, scatter-added onto the expansion field.
 
     out: [Z, 8, F] from zeeman_mp_eval; c_re/g0/rnear: [Z, NP];
-    component grids f0_k/igd_k/zi_k/sr_k/si_k: [Z, NP, CM];
-    pw_k: [NP, CM, C]; cutoff: [NP].  The near mask is the EXACT
-    complement of the kernel's far mask (distance to the POLE, imag part
-    included — a heavily broadened pole needs no correction even at
-    dr ~ 0).  noff: static candidate points per pole; must cover
+    component grids f0_k/igd_k/zi_k/sr_k/si_k: [Z, CM, NP]
+    (component-major — see zeeman_pole_moments); pw_k: [CM, NP, C];
+    cutoff: [NP].  The near mask is the EXACT complement of the
+    kernel's far mask (distance to the POLE, imag part included — a
+    heavily broadened pole needs no correction even at dr ~ 0).
+    noff: static candidate points per pole; must cover
     ceil(2 max rnear / grid spacing) + 2 (tuner-checked).
     """
     Z, NP = c_re.shape
@@ -314,13 +319,15 @@ def near_correction(
         jnp.abs(dr) <= cutoff[None, :, None]
     )
 
-    # exact component values at the pole's candidates: [Z, NP, CM, O]
-    zr = igd_k[..., None] * (fo[:, :, None, :] - f0_k[..., None])
-    zi = jnp.broadcast_to(zi_k[..., None], zr.shape)
+    # exact component values at the pole's candidates, laid out
+    # [Z, O, CM, NP] so the minor dims stay the wide (CM, NP) pair
+    foT = jnp.moveaxis(fo, 2, 1)  # [Z, O, NP]
+    zr = igd_k[:, None] * (foT[:, :, None, :] - f0_k[:, None])
+    zi = jnp.broadcast_to(zi_k[:, None], zr.shape)
     wr, wi = _wofz_parts(zr, zi, wofz_n)
-    val = sr_k[..., None] * wr - si_k[..., None] * wi
+    val = sr_k[:, None] * wr - si_k[:, None] * wi  # [Z, O, CM, NP]
     corr = jnp.einsum(
-        "znko,nkc->znoc", val, pw_k,
+        "zokp,kpc->zpoc", val, pw_k,
         precision=jax.lax.Precision.HIGHEST,
     )  # [Z, NP, O, C]
     corr = jnp.where(pmask[..., None], corr, 0.0)

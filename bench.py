@@ -365,9 +365,13 @@ def main():
         import subprocess
         import sys
 
+        # hard cap: a wedged tunnel-side x64 compile must not take the
+        # whole bench line down with it (observed 2026-08-21: the probe
+        # slept >15 min on a server-side compile the tunnel never
+        # finished; everything else in the bench was healthy)
         r = subprocess.run(
             [sys.executable, __file__, "--f64-probe"],
-            capture_output=True, text=True, timeout=2400,
+            capture_output=True, text=True, timeout=900,
             env={**os.environ, "JAX_ENABLE_X64": "1"},
         )
         lines_out = r.stdout.strip().splitlines()

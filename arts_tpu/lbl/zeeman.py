@@ -396,12 +396,15 @@ def pad_zeeman_catalog(
     groups = {b: [] for b in buckets}  # bucket -> [(parent, comps)]
     for p in range(n):
         comps = per_parent[p]
-        if len(comps) <= bmax:
-            b = next(bb for bb in buckets if len(comps) <= bb)
-            groups[b].append((p, comps))
-        else:
-            for o in range(0, len(comps), bmax):
-                groups[bmax].append((p, comps[o:o + bmax]))
+        # parents beyond the largest bucket split into bmax-sized chunks;
+        # every chunk (incl. a short remainder) then buckets by its OWN
+        # length, so a 130-component parent costs 128 + 4 slots, not 256
+        for o in range(0, max(len(comps), 1), bmax):
+            chunk = comps[o:o + bmax]
+            if not chunk:
+                continue
+            b = next(bb for bb in buckets if len(chunk) <= bb)
+            groups[b].append((p, chunk))
     parent_t, split_t, strength_t, polidx_t = [], [], [], []
     for b in buckets:
         rows = groups[b]
@@ -477,6 +480,11 @@ def zeeman_propmat_profile(
         raise TypeError(
             "zeeman_propmat_profile needs a PaddedZeemanCatalog — convert "
             "once at scene build with pad_zeeman_catalog(zcat)"
+        )
+    if not zcat.parent:
+        raise ValueError(
+            "empty PaddedZeemanCatalog (no Zeeman components); nothing "
+            "to evaluate — guard the caller or use zeeman_propmat"
         )
     cat = zcat.cat
     H, theta, eta = magnetic_angles(mag, los_za_deg, los_aa_deg)
@@ -560,7 +568,8 @@ def tune_zeeman_profile(
     if pzcat is not None:
         H_ref = 1e-4  # conservative field bound [T]
         spread = max(
-            float(np.abs(np.asarray(s)).max()) for s in pzcat.split
+            (float(np.abs(np.asarray(s)).max()) for s in pzcat.split),
+            default=0.0,
         ) * H_ref
         m_min = float(np.asarray(pzcat.cat.iso_mass).min())
     else:

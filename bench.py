@@ -369,9 +369,10 @@ def main():
         # whole bench line down with it (observed 2026-08-21: the probe
         # slept >15 min on a server-side compile the tunnel never
         # finished; everything else in the bench was healthy)
+        f64_timeout = int(os.environ.get("BENCH_F64_TIMEOUT", "900"))
         r = subprocess.run(
             [sys.executable, __file__, "--f64-probe"],
-            capture_output=True, text=True, timeout=900,
+            capture_output=True, text=True, timeout=f64_timeout,
             env={**os.environ, "JAX_ENABLE_X64": "1"},
         )
         lines_out = r.stdout.strip().splitlines()

@@ -200,3 +200,53 @@ def test_zeeman_parent_pole_profile():
     )
     sc = np.abs(ref).max()
     assert np.abs(out - ref).max() / sc < 1e-4
+
+
+def test_pad_zeeman_bucketing_and_empty_guards():
+    """pad_zeeman_catalog routes every chunk (incl. the remainder of an
+    over-sized parent) through the smallest covering bucket, and the
+    empty-catalog cases fail cleanly (advisor round-4 findings)."""
+    import types
+
+    from arts_tpu.lbl.zeeman import (
+        PaddedZeemanCatalog,
+        pad_zeeman_catalog,
+        tune_zeeman_profile,
+        zeeman_propmat_profile,
+    )
+
+    # synthetic: one parent with 130 components, one with 3
+    n130, n3 = 130, 3
+    idx = np.concatenate([np.zeros(n130, np.int32), np.ones(n3, np.int32)])
+    split = np.linspace(-1e6, 1e6, n130 + n3)
+    strength = np.full(n130 + n3, 0.5)
+    fake_cat = types.SimpleNamespace(
+        f0=np.asarray([118e9, 119e9]),
+        iso_mass=np.asarray([32.0, 32.0]),
+    )
+    zc = types.SimpleNamespace(
+        cat=fake_cat,
+        idx=(idx, np.zeros(0, np.int32), np.zeros(0, np.int32)),
+        split=(split, np.zeros(0), np.zeros(0)),
+        strength=(strength, np.zeros(0), np.zeros(0)),
+    )
+    pz = pad_zeeman_catalog(zc, buckets=(4, 16, 64, 128))
+    # slots used: 128 (chunk 1 of parent 0) + 4 (2-comp remainder)
+    # + 4 (3-comp parent 1); the remainder must NOT land in the 128 bucket
+    sizes = sorted(int(s.shape[0]) * int(s.shape[1]) for s in pz.split)
+    assert sum(sizes) == 128 + 4 + 4
+    n_poles = sum(int(p.shape[0]) for p in pz.parent)
+    assert n_poles == 3
+
+    # empty catalog: tune returns finite knobs, profile raises clearly
+    empty = PaddedZeemanCatalog(
+        cat=CAT, parent=(), split=(), strength=(), polidx=()
+    )
+    knobs = tune_zeeman_profile(jnp.linspace(1e9, 2e9, 16), empty)
+    assert knobs["noff"] >= 2
+    with pytest.raises(ValueError, match="empty PaddedZeemanCatalog"):
+        zeeman_propmat_profile(
+            jnp.linspace(1e9, 2e9, 16), empty, PF,
+            jnp.asarray([230.0]), jnp.asarray([3e3]),
+            jnp.asarray([[0.21]]), jnp.asarray([0.0, 3e-5, 3e-5]), 180.0,
+        )

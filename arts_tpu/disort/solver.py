@@ -81,6 +81,13 @@ class DisortOutput:
     u: Optional[jax.Array] = None  # [L+1, NQuad, nphi]
 
 
+def _eigh_lapack(A):
+    """jnp.linalg.eigh as a plain-tuple pytree (platform_dependent branch
+    partner to eigh_jacobi, whose output is a tuple not an EighResult)."""
+    w, V = jnp.linalg.eigh(A)
+    return w, V
+
+
 def _eigen(Pp, Pm, omega, mu, w, fast_linalg=False):
     """Homogeneous solutions per (mode, layer): k [M,L,N], Gp/Gm [M,L,N,N]."""
     c = 0.5 * omega  # [L]
@@ -100,7 +107,22 @@ def _eigen(Pp, Pm, omega, mu, w, fast_linalg=False):
     else:
         Lc = jnp.linalg.cholesky(-H1)
     Hsym = -jnp.einsum("...ji,...jk,...kl->...il", Lc, H2, Lc)
-    k2, V = eigh_jacobi(Hsym) if fast_linalg else jnp.linalg.eigh(Hsym)
+    # the TPU XLA f32 eigh custom call is not radiance-grade — even at
+    # highest matmul precision it leaves ~15% u0 errors where the Jacobi
+    # sweep (and CPU LAPACK) sit at ~0.1% (native/eigh_tpu_repro.py) —
+    # so every non-CPU lowering routes through eigh_jacobi regardless of
+    # fast_linalg; jnp.linalg.eigh means LAPACK, kept for cpu (decided
+    # at lowering time so CPU-pinned runs in a TPU session get LAPACK)
+    if fast_linalg:
+        k2, V = eigh_jacobi(Hsym)
+    elif jax.default_backend() == "cpu":
+        k2, V = jnp.linalg.eigh(Hsym)  # pure-CPU session: LAPACK
+    else:
+        # non-CPU session: Jacobi on the accelerator; computations the
+        # caller pins to the CPU device still lower to LAPACK there
+        k2, V = jax.lax.platform_dependent(
+            Hsym, cpu=_eigh_lapack, default=eigh_jacobi
+        )
     k = jnp.sqrt(jnp.maximum(k2, 1e-24))
 
     E = jnp.sqrt(w * mu)

@@ -112,13 +112,19 @@ def eigh_jacobi(A, sweeps: int | None = None):
     Dispatches to the fused Pallas kernel on TPU backends.
     """
     # Mosaic rejects kernels traced under x64 mode (even f32 ones), so
-    # f64-on-TPU runs take the portable jnp tier
-    if (
-        jax.default_backend() == "tpu"
-        and A.shape[-1] <= 16
-        and not jax.config.jax_enable_x64
-    ):
-        return eigh_jacobi_pallas(A, sweeps)
+    # f64-on-TPU runs take the portable jnp tier.  The TPU/portable
+    # choice is made at LOWERING time (lax.platform_dependent), not from
+    # jax.default_backend(): in a TPU session a computation pinned to the
+    # CPU device (device_put inputs / jax.default_device) still lowers
+    # for cpu, where the Pallas kernel cannot compile.
+    if A.shape[-1] <= 16 and not jax.config.jax_enable_x64:
+        import functools
+
+        return jax.lax.platform_dependent(
+            A,
+            tpu=functools.partial(eigh_jacobi_pallas, sweeps=sweeps),
+            default=functools.partial(eigh_jacobi_soa, sweeps=sweeps),
+        )
     return eigh_jacobi_soa(A, sweeps)
 
 

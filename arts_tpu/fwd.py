@@ -283,6 +283,116 @@ def simulate_clearsky(
         return _emission_fn(rte_option)(k, J, r, I0)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("block", "backend", "lbl_tuning")
+)
+def gas_absorption_levels(
+    scene: ClearskyScene,
+    f_grid,
+    block: int = 256,
+    backend: str = "xla",
+    lbl_tuning: tuple | None = None,
+):
+    """Gas absorption on the scene's own level grid, ascending: [Z, F].
+
+    The level-cache primitive for many-geometry measurement batches: in a
+    1D atmosphere every path samples the same vertical state, so the LBL
+    stage is computed ONCE here and each geometry interpolates (the
+    reference's per-path-point cache in fwd_spectral_radiance.h:40-85,
+    hoisted to a whole-profile precompute that feeds the Pallas kernel a
+    single big launch).  backend="pallas" uses the block-skip Voigt
+    kernel (lbl.voigt.absorption_pallas)."""
+    pts = scene.atm.at(scene.atm.z)
+
+    def point_abs(t, p, v):
+        a = jnp.zeros_like(f_grid)
+        if scene.cat is not None and scene.cat.n_lines > 0:
+            if backend == "pallas":
+                from .lbl.voigt import absorption_pallas
+
+                tune = {}
+                if lbl_tuning is not None:
+                    tune = dict(
+                        zip(("tf", "tl", "max_visits", "mp_terms",
+                             "mp_kappa", "nsub"), lbl_tuning)
+                    )
+                a = a + absorption_pallas(
+                    f_grid, scene.cat, scene.pf, t, p, v, **tune
+                )
+            else:
+                a = a + absorption(
+                    f_grid, scene.cat, scene.pf, t, p, v, block=block,
+                    realpair=(backend == "xla_realpair"),
+                )
+        if scene.predef:
+            from .predefined import predefined_absorption
+
+            vmrs = {tag: v[i] for i, tag in enumerate(scene.species_names)}
+            a = a + predefined_absorption(scene.predef, f_grid, t, p, vmrs)
+        for band, sidx, iidx, irat in scene.ecs_bands:
+            from .lbl.ecs import ecs_absorption
+
+            a = a + ecs_absorption(
+                f_grid, band, scene.pf, iidx, t, p, v[sidx], irat
+            )
+        return a
+
+    with jax.named_scope("propmat_levels"):
+        return jax.vmap(point_abs)(pts.t, pts.p, pts.vmr)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("background", "rte_option")
+)
+def simulate_clearsky_from_levels(
+    k_levels,
+    scene: ClearskyScene,
+    f_grid,
+    path_alt,
+    path_dr,
+    background: str = "space",
+    rte_option: str = "constant",
+):
+    """Clear-sky radiance with absorption interpolated from a level cache.
+
+    k_levels: [Z, F] from gas_absorption_levels (scene.atm.z, ascending).
+    Per path point, k interpolates linearly in altitude — exact at level
+    altitudes, O(dz^2) between them (the same order as the linear T/VMR
+    interpolation the direct path applies before the lineshape).  No
+    Doppler wind support (a per-point frequency shift breaks the shared
+    level grid); use simulate_clearsky for wind scenes.  Differentiable
+    wrt k_levels and every scene leaf the source/boundary terms touch."""
+    z = scene.atm.z
+    alt = jnp.asarray(path_alt)
+    i1 = jnp.clip(jnp.searchsorted(z, alt), 1, z.shape[0] - 1)
+    i0 = i1 - 1
+    w = jnp.clip((alt - z[i0]) / (z[i1] - z[i0]), 0.0, 1.0)
+    k = k_levels[i0] * (1.0 - w)[:, None] + k_levels[i1] * w[:, None]
+
+    pts = scene.atm.at(alt)
+    J = planck(f_grid[None, :], pts.t[:, None])
+    r = jnp.asarray(path_dr)
+    cmb = planck(
+        f_grid, jnp.asarray(const.cosmic_microwave_background_temperature)
+    ) * jnp.ones_like(f_grid)
+    if background == "surface":
+        b_surf = planck(f_grid, scene.surface_temperature)
+        I0 = scene.surface_emissivity * b_surf + (
+            1.0 - scene.surface_emissivity
+        ) * cmb
+    elif background == "surface_reflect":
+        b_surf = planck(f_grid, scene.surface_temperature)
+        I_down = _emission_fn(rte_option)(k[::-1], J[::-1], r[::-1], cmb)
+        refl = 1.0 - scene.surface_emissivity
+        I0 = refl * I_down + scene.surface_emissivity * b_surf
+    else:
+        from .options import PathBackground, check_option
+
+        check_option(PathBackground, background)
+        I0 = cmb
+    return _emission_fn(rte_option)(k, J, r, I0)
+
+
 def sun_leg_tau(z_levels, k_mid, alt, sun_za_deg, radius=None):
     """Optical depth along the geometric sun leg from each altitude.
 
@@ -359,7 +469,27 @@ class ZeemanScene:
     nlte: object | None = None
 
 
-@functools.partial(jax.jit, static_argnames=("background", "block"))
+def _emission_fn_polarized(rte_option: str):
+    """Polarized emission recursion for an rte_option (the reference's
+    TransmittanceOption; rtepack_rtestep.cc dispatches the same three
+    discretizations for Stokes radiances)."""
+    from .options import RteOption, check_option
+    from .rtepack.emission import (
+        emission_polarized,
+        emission_polarized_linprop,
+        emission_polarized_linsrc,
+    )
+
+    return {
+        "constant": emission_polarized,
+        "lintau": emission_polarized_linsrc,
+        "linprop": emission_polarized_linprop,
+    }[check_option(RteOption, rte_option)]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("background", "block", "rte_option")
+)
 def simulate_clearsky_polarized(
     scene: ZeemanScene,
     f_grid,
@@ -368,15 +498,20 @@ def simulate_clearsky_polarized(
     path_dr,
     background: str = "space",
     block: int = 256,
+    rte_option: str = "constant",
 ):
     """Polarized (full Stokes) clear-sky radiance [F, 4] at the observer.
 
     path_za: per-point line-of-sight zenith angle (degrees) for the
     magnetic geometry; magnetic field from scene.atm.mag.
+    rte_option: layer discretization, "constant" | "lintau" | "linprop"
+    (parity: the reference's rte_option WSV, applied to polarized
+    radiances in tests/core/zeeman/spectral_radiance_jacobian_*.py).
     """
     from .lbl.zeeman import zeeman_propmat
-    from .rtepack.emission import emission_polarized
     from .rtepack.propmat import inv as pm_inv, matvec
+
+    emission_polarized = _emission_fn_polarized(rte_option)
 
     pts = scene.atm.at(path_alt)
 

@@ -32,6 +32,37 @@ def clearsky_observer(**kw):
     return run
 
 
+def clearsky_observer_cached(
+    backend: str = "xla", block: int = 256, rte_option: str = "constant",
+    lbl_tuning: tuple | None = None,
+):
+    """Level-cached scalar clear-sky observer for many-geometry batches.
+
+    Computes gas absorption ONCE on the scene's level grid (optionally
+    with the Pallas LBL kernel) and interpolates it per path point, so
+    the LBL cost is independent of the geometry count — the TPU form of
+    the reference's per-path-point cache (fwd_spectral_radiance.h:40-85)
+    that its HighPerf measurement kernel (m_rad.cc:380-467) relies on.
+    Exact vs clearsky_observer when path points sit on level altitudes;
+    O(dz^2) between levels.  Not for wind (Doppler) scenes."""
+    from ..fwd import gas_absorption_levels, simulate_clearsky_from_levels
+
+    def run(scene, f_grid, alts, drs, zas, background):
+        k_lvl = gas_absorption_levels(
+            scene, f_grid, block=block, backend=backend,
+            lbl_tuning=lbl_tuning,
+        )
+        sim = jax.vmap(
+            lambda a, d: simulate_clearsky_from_levels(
+                k_lvl, scene, f_grid, a, d, background=background,
+                rte_option=rte_option,
+            )
+        )
+        return sim(alts, drs)
+
+    return run
+
+
 def polarized_observer(component: int = 0, **kw):
     """Polarized (Zeeman) observer; the measurement vector takes one
     Stokes component (pass component=None for the full [G, F, 4] field,

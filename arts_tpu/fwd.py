@@ -77,7 +77,7 @@ class ClearskyScene:
     jax.jit,
     static_argnames=(
         "background", "block", "rte_option", "scattered_sun",
-        "depolarization",
+        "depolarization", "sun_refraction",
     ),
 )
 def simulate_clearsky(
@@ -95,6 +95,7 @@ def simulate_clearsky(
     sun_aa=0.0,
     scattered_sun: bool = False,
     depolarization: float = 0.0,
+    sun_refraction: bool = False,
 ):
     """Clear-sky spectral radiance [W/(m^2 Hz sr)] seen by the observer.
 
@@ -204,9 +205,26 @@ def simulate_clearsky(
         )(lv.p, lv.t)
         kx = k_lvl + k_ray_lvl
         k_mid = 0.5 * (kx[1:] + kx[:-1])  # [Z-1, F]
+        n_lvl = None
+        if sun_refraction:
+            # traced Smith-Weintraub refractivity on the levels (the
+            # reference's refracted sun paths via
+            # ray_point_back_propagation_agenda); H2O partial pressure
+            # from the named species row when present
+            p_hpa = lv.p / 100.0
+            if "H2O" in scene.species_names:
+                e_hpa = p_hpa * lv.vmr[:, scene.species_names.index("H2O")]
+            else:
+                e_hpa = jnp.zeros_like(p_hpa)
+            N_u = (
+                77.6 * (p_hpa - e_hpa) / lv.t
+                + 72.0 * e_hpa / lv.t
+                + 3.75e5 * e_hpa / lv.t**2
+            )
+            n_lvl = 1.0 + N_u * 1e-6
         tau_p, visible = sun_leg_tau(
             zg, k_mid, jnp.asarray(path_alt, f_grid.dtype),
-            jnp.asarray(sun_za, f_grid.dtype),
+            jnp.asarray(sun_za, f_grid.dtype), n_levels=n_lvl,
         )
         t_sun = jnp.where(visible[:, None], jnp.exp(-tau_p), 0.0)  # [np, F]
 
@@ -314,7 +332,8 @@ def gas_absorption_levels(
                 if lbl_tuning is not None:
                     tune = dict(
                         zip(("tf", "tl", "max_visits", "mp_terms",
-                             "mp_kappa", "nsub"), lbl_tuning)
+                             "mp_kappa", "nsub", "coarse", "coarse_k"),
+                            lbl_tuning)
                     )
                 a = a + absorption_pallas(
                     f_grid, scene.cat, scene.pf, t, p, v, **tune
@@ -393,20 +412,27 @@ def simulate_clearsky_from_levels(
     return _emission_fn(rte_option)(k, J, r, I0)
 
 
-def sun_leg_tau(z_levels, k_mid, alt, sun_za_deg, radius=None):
-    """Optical depth along the geometric sun leg from each altitude.
+def sun_leg_tau(z_levels, k_mid, alt, sun_za_deg, radius=None,
+                n_levels=None):
+    """Optical depth along the (optionally refracted) sun leg.
 
     The spherical-shell analogue of the reference's find_sun_path
     (src/sun_methods.cc:178-239): from a point at ``alt`` with local sun
-    zenith angle ``sun_za_deg``, the ray has impact parameter
-    p = (R + alt) sin(za); its crossing of shell z sits at slant
-    coordinate S(z) = sqrt((R + z)^2 - p^2), so per-shell slant lengths
-    are S-differences and tau is one [np, Z-1] @ [Z-1, F] contraction.
-    Rays with za > 90 descend to the tangent altitude p - R first: when
-    that is positive the sun is still visible (twilight geometry, where
-    plane-parallel exp(-tau/mu) is 0 or diverges) and
-    tau = 2 tau_full - tau_up; when it is negative the planet blocks
-    the leg.  Geometric only (no refraction).
+    zenith angle ``sun_za_deg``, the ray has Bouguer invariant
+    p = n(alt) (R + alt) sin(za); within shell j (refractive index n_j
+    constant) its slant coordinate is S_j(r) = sqrt((n_j r)^2 - p^2)/n_j,
+    so per-shell slant lengths are S_j-differences and tau is one
+    [np, Z-1] @ [Z-1, F] contraction.  Rays with za > 90 descend to the
+    tangent radius (n r = p) first: when that clears the surface the sun
+    is still visible (twilight geometry, where plane-parallel
+    exp(-tau/mu) is 0 or diverges) and tau = 2 tau_full - tau_up; when
+    it does not, the planet blocks the leg.
+
+    n_levels: optional [Z] refractive index at the levels (e.g. from
+    path.refraction.refractivity_profile); None = geometric (n = 1).
+    Refraction matters exactly in the za ~ 90 twilight regime this
+    function advertises (~0.5 deg of extra bending at the horizon).
+    Assumes n r increasing outward (no ducting).
 
     z_levels: [Z] ascending; k_mid: [Z-1, F] mid-layer extinction;
     alt: [np]; sun_za_deg: scalar or [np].
@@ -416,21 +442,34 @@ def sun_leg_tau(z_levels, k_mid, alt, sun_za_deg, radius=None):
         from .path.geometry import EARTH_RADIUS as radius
     za = jnp.deg2rad(jnp.broadcast_to(jnp.asarray(sun_za_deg), alt.shape))
     r_a = radius + alt
-    p_imp = r_a * jnp.sin(za)  # [np]
     r_l = radius + z_levels  # [Z]
-    S = jnp.sqrt(
-        jnp.maximum(r_l[None, :] ** 2 - p_imp[:, None] ** 2, 0.0)
-    )  # [np, Z]
-    Sa = jnp.sqrt(jnp.maximum(r_a**2 - p_imp**2, 0.0))  # [np]
-    seg_up = jnp.maximum(
-        S[:, 1:] - jnp.maximum(S[:, :-1], Sa[:, None]), 0.0
-    )  # [np, Z-1]
-    seg_full = jnp.maximum(S[:, 1:] - S[:, :-1], 0.0)
+    if n_levels is None:
+        n_mid = jnp.ones(z_levels.shape[0] - 1, za.dtype)
+        n_at = jnp.ones_like(alt)
+        n_bot = 1.0
+    else:
+        n_levels = jnp.asarray(n_levels, za.dtype)
+        n_mid = 0.5 * (n_levels[1:] + n_levels[:-1])  # [Z-1]
+        n_at = jnp.interp(alt, z_levels, n_levels)
+        n_bot = n_levels[0]
+    p_inv = n_at * r_a * jnp.sin(za)  # [np] Bouguer invariant
+
+    def S_of(r, nj):  # [np, Z-1] slant coordinate at radius r in shell j
+        return (
+            jnp.sqrt(jnp.maximum((nj * r) ** 2 - p_inv[:, None] ** 2, 0.0))
+            / nj
+        )
+
+    S_lo = S_of(r_l[None, :-1], n_mid[None, :])
+    S_hi = S_of(r_l[None, 1:], n_mid[None, :])
+    Sa = S_of(r_a[:, None], n_mid[None, :])  # start clamp, per shell
+    seg_up = jnp.maximum(S_hi - jnp.maximum(S_lo, Sa), 0.0)  # [np, Z-1]
+    seg_full = jnp.maximum(S_hi - S_lo, 0.0)
     tau_up = seg_up @ k_mid  # [np, F]
     tau_full = seg_full @ k_mid
     desc = za > jnp.pi / 2
     tau = jnp.where(desc[:, None], 2.0 * tau_full - tau_up, tau_up)
-    visible = (~desc) | (p_imp > radius)
+    visible = (~desc) | (p_inv > n_bot * radius)
     return tau, visible
 
 

@@ -112,7 +112,8 @@ def gas_absorption_profile(scene: AllskyScene, f_grid, block: int = 256,
                 if lbl_tuning is not None:
                     tune = dict(
                         zip(("tf", "tl", "max_visits", "mp_terms",
-                             "mp_kappa", "nsub"), lbl_tuning)
+                             "mp_kappa", "nsub", "coarse", "coarse_k"),
+                            lbl_tuning)
                     )
                 a = a + absorption_pallas(
                     f_grid, scene.cat, scene.pf, t, p, v, **tune

@@ -272,7 +272,7 @@ def absorption(
     jax.jit,
     static_argnames=(
         "no_negative_absorption", "tf", "tl", "wofz_n", "max_visits",
-        "mp_terms", "mp_kappa", "nsub",
+        "mp_terms", "mp_kappa", "nsub", "coarse", "coarse_k",
     ),
 )
 def absorption_pallas(
@@ -290,6 +290,8 @@ def absorption_pallas(
     mp_terms: int = 12,
     mp_kappa: float = 3.5,
     nsub: int = 1,
+    coarse: int = 0,
+    coarse_k: float = 40.0,
 ):
     """absorption() with the lines x freqs contraction in the Pallas TPU
     kernel (ops/voigt_kernel.py). Identical math; tiled VMEM execution with
@@ -332,6 +334,8 @@ def absorption_pallas(
         mp_terms=mp_terms,
         mp_kappa=mp_kappa,
         nsub=nsub,
+        coarse=coarse,
+        coarse_k=coarse_k,
     )
 
     scl = -f_grid * jnp.expm1(-(const.h * f_grid) / (const.k * T))
@@ -345,7 +349,7 @@ def tune_lbl_kernel(
     f_grid, cat: LineCatalog, pf: PartFunTable, T, P, vmr,
     tf: int = 512, tl: int = 32,
     mp_terms: int = 12, mp_kappa: float = 3.5, slack: int = 2,
-    nsub: int = 1,
+    nsub: int = 1, coarse: int = 0, coarse_k: float = 40.0,
 ):
     """Concrete-input (outside-jit) tuner: exact static max_visits for
     absorption_pallas over a set of atmospheric points.
@@ -382,10 +386,13 @@ def tune_lbl_kernel(
                     np.asarray(f_grid) - anchor, np.asarray(f0s) - anchor,
                     np.asarray(inv_gd), np.asarray(z_imag), cut_k,
                     tf=tf, tl=tl, mp_terms=mp_terms, mp_kappa=mp_kappa,
-                    nsub=nsub,
+                    nsub=nsub, coarse=coarse, coarse_k=coarse_k,
                 ),
             )
-    return dict(
+    out = dict(
         tf=tf, tl=tl, max_visits=bound + slack,
         mp_terms=mp_terms, mp_kappa=mp_kappa, nsub=nsub,
     )
+    if coarse:
+        out.update(coarse=coarse, coarse_k=coarse_k)
+    return out

@@ -166,6 +166,121 @@ def _multipole_far(
     return far, mp
 
 
+def _smoothstep(s):
+    """C^2 quintic smoothstep on clamped s: 0 -> 0, 1 -> 1, zero first
+    and second derivatives at both ends (the blend window for the
+    coarse-grid far field — hard masks would put kinks inside interp
+    cells, NOTES_ROUND4 trap (a))."""
+    s = jnp.clip(s, 0.0, 1.0)
+    return s * s * s * (10.0 + s * (-15.0 + 6.0 * s))
+
+
+def _coarse_far(
+    f_flat, s_lo, s_hi, f0, igd, zi, sr, si, cutoff, swc, pw,
+    f0_lo, f0_hi, nl, tl, factor, K, mid_r2, mid_terms,
+):
+    """Coarse-grid far field for the Voigt contraction.
+
+    Beyond a per-line radius r0 the (in-window, cutoff-subtracted) line
+    tail is a smooth slowly-varying function of frequency, so the whole
+    far field is evaluated on a `factor`x coarser UNIFORM grid with the
+    mid-tier Laurent series and cubic-Lagrange-interpolated back to the
+    fine grid: ~factor x fewer far pairs than the direct tier and, unlike
+    the block multipole (_multipole_far), a per-LINE near radius — no
+    cluster-radius term, so the direct tier shrinks to r1 = 2 K h_c
+    (~8 GHz at the bench shape vs ~21 GHz for the tl=256 multipole).
+
+    Exactness: each line's contribution splits as
+        chi(|df|) psi(|df|) g_l  +  (1 - chi psi) g_l,
+    chi a quintic smoothstep opening over [r0, r0 + Kh] and psi one
+    closing over [cut - Kh, cut]; the first term (globally C^2, fully
+    inside the cutoff window) lives here on the coarse grid, the exact
+    complement stays in the direct kernel (weighted by 1 - chi psi), so
+    the cutoff-subtraction kink at f0 +- cut is computed at FULL
+    resolution (NOTES_ROUND4 trap (b)).  Interp error ~ 2.8 (h_c/r0)^4
+    of the local tail: ~1e-6 at the default K = 40.
+
+    Returns (far [nsub-tiles, nl] bool, far_fine [F, C], r0 [L]).
+    """
+    dtype = f_flat.dtype
+    F = f_flat.shape[0]
+    fmin = jnp.min(f_flat)
+    fmax = jnp.max(f_flat)
+    Fc = max(F // factor, 8) + 4
+    # host-static length; traced uniform spacing
+    h_c = (fmax - fmin) / (Fc - 5)
+    fc = fmin + (jnp.arange(Fc, dtype=dtype) - 2.0) * h_c
+
+    ramp = K * h_c
+    # r0 must also clear the mid Laurent gate for every line
+    mid_gap = jnp.sqrt(jnp.maximum(2.0 * mid_r2 - zi * zi, 0.0)) / jnp.where(
+        igd > 0, igd, 1.0
+    )
+    r0 = jnp.maximum(ramp, mid_gap)  # [L]
+
+    # ---- coarse evaluation over all (coarse point, line) pairs ----
+    df = fc[:, None] - f0[None, :]  # [Fc, L]
+    ad = jnp.abs(df)
+    chi = _smoothstep((ad - r0[None, :]) / ramp)
+    psi = _smoothstep((cutoff[None, :] - ad) / ramp)
+    wblend = chi * psi
+    on = wblend > 0.0
+    zr = jnp.where(on, igd[None, :] * df, 100.0)
+    zim = jnp.where(on, jnp.broadcast_to(zi[None, :], zr.shape), 100.0)
+    wr, wi = _wofz_asym(zr, zim, terms=mid_terms)
+    vals = (sr[None, :] * wr - si[None, :] * wi) - swc[None, :]
+    contrib = jnp.where(on, wblend * vals, 0.0)  # [Fc, L]
+    far_c = contrib @ pw.astype(dtype)  # [Fc, C]
+
+    # ---- cubic Lagrange interpolation to the fine grid ----
+    t = (f_flat - fc[0]) / h_c
+    i1 = jnp.clip(t.astype(jnp.int32), 1, Fc - 3)
+    x = t - i1.astype(dtype)  # in [0, 1) inside the grid
+    w0 = -x * (x - 1.0) * (x - 2.0) / 6.0
+    w1 = (x + 1.0) * (x - 1.0) * (x - 2.0) / 2.0
+    w2 = -(x + 1.0) * x * (x - 2.0) / 2.0
+    w3 = (x + 1.0) * x * (x - 1.0) / 6.0
+    g = lambda off: far_c[i1 + off]  # [F, C]
+    far_fine = (
+        w0[:, None] * g(-1) + w1[:, None] * g(0)
+        + w2[:, None] * g(1) + w3[:, None] * g(2)
+    )
+
+    # ---- (sub-tile, block) far classification ----
+    # The direct complement (1 - chi psi) is nonzero only (a) within r1
+    # of a pole or (b) in the psi ramp just inside a cutoff edge, so a
+    # sub-tile is near iff it intersects the block's pole band or either
+    # cutoff-edge band — an EXACT union test (the naive "inside every
+    # line's psi == 1 region" couples all lines of a block and never
+    # fires at realistic spans).
+    blk = lambda x: x.reshape(nl, tl)
+    r1 = r0 + ramp
+    r1b = blk(r1)
+    f0b = blk(f0)
+    cutb = blk(cutoff)
+    valid = cutb > 0.0  # padded lines carry cutoff = -1
+    finite = valid & (cutb < 1e20)  # no-cutoff lines have no edge
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+    pole_lo = jnp.min(jnp.where(valid, f0b - r1b, big), axis=1)
+    pole_hi = jnp.max(jnp.where(valid, f0b + r1b, -big), axis=1)
+    up_lo = jnp.min(jnp.where(finite, f0b + cutb, big), axis=1) - ramp
+    up_hi = jnp.max(jnp.where(finite, f0b + cutb, -big), axis=1)
+    dn_lo = jnp.min(jnp.where(finite, f0b - cutb, big), axis=1)
+    dn_hi = jnp.max(jnp.where(finite, f0b - cutb, -big), axis=1) + ramp
+
+    def hits(lo, hi):
+        return (hi[None, :] >= s_lo[:, None]) & (lo[None, :] <= s_hi[:, None])
+
+    near_bands = (
+        hits(pole_lo, pole_hi) | hits(up_lo, up_hi) | hits(dn_lo, dn_hi)
+    )
+    # blocks with padded lines always go direct (their in-kernel s = 0
+    # zeroes them; the band extrema above ignore them)
+    has_pad = jnp.any(~valid, axis=1)
+    far = ~near_bands & ~has_pad[None, :]
+    return far, far_fine, r0, ramp
+
+
 def _reciprocal(x):
     if x.dtype == jnp.float32:
         try:
@@ -278,11 +393,15 @@ def _voigt_kernel(
     si_ref,
     cut_ref,
     swc_ref,
-    out_ref,  # [8, TF]
-    *,
+    *rest,  # (+ r0_ref, invr_ref when coarse) + out_ref [8, TF]
     n,
     nsub,
+    coarse=False,
 ):
+    if coarse:
+        r0_ref, invr_ref, out_ref = rest
+    else:
+        (out_ref,) = rest
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -307,6 +426,9 @@ def _voigt_kernel(
     sic = si_ref[:, 0][:, None]
     cutc = cut_ref[:, 0][:, None]
     swcc = swc_ref[:, 0][:, None]
+    if coarse:
+        r0c = r0_ref[:, 0][:, None]
+        invr = invr_ref[0, 0]
 
     # the classification (and the multipole far field) is per SUB-tile of
     # sf lanes: the kernel computes only the sub-tiles whose bit is set,
@@ -333,8 +455,15 @@ def _voigt_kernel(
             return df, zr, zim
 
         def accumulate(df, wr, wi, st=st):
-            inside = jnp.abs(df) <= cutc
+            ad = jnp.abs(df)
+            inside = ad <= cutc
             vals = (src * wr - sic * wi) - swcc
+            if coarse:
+                # exact complement of the coarse-grid far field: the
+                # smooth blend chi(|df|) psi(cut - |df|) lives there
+                chi = _smoothstep((ad - r0c) * invr)
+                psi = _smoothstep((cutc - ad) * invr)
+                vals = vals * (1.0 - chi * psi)
             contrib = jnp.where(inside, vals, jnp.zeros_like(vals))
             tl, w = contrib.shape
             out_ref[:, st * sf:(st + 1) * sf] += jnp.sum(
@@ -501,6 +630,7 @@ def _pad_lines(nl, tl, f0, inv_gd, z_imag, s_re, s_im, cutoff,
 def _classify_visits(
     f_grid, f0, inv_gd, z_imag, s_re, s_im, cutoff, swc, pw,
     nf, tf, nl, tl, multipole, mp_terms, mp_kappa, nsub=1,
+    coarse=0, coarse_k=40.0,
 ):
     """Shared (sub-tile, block) classification for both Voigt kernels.
 
@@ -531,7 +661,18 @@ def _classify_visits(
         win_lo[None, :] <= s_hi[:, None]
     )  # [nf*nsub, nl]
     mp = None
-    if multipole:
+    r0 = None
+    if coarse:
+        f32 = f_grid.dtype == jnp.float32
+        mid_r2, mid_terms = (36.0, 6) if f32 else (150.0, 8)
+        far, mp, r0, ramp = _coarse_far(
+            f_grid, s_lo, s_hi, f0, inv_gd, z_imag, s_re, s_im, cutoff,
+            swc, pw, f0_lo, f0_hi, nl, tl, coarse, coarse_k,
+            mid_r2, mid_terms,
+        )
+        r0 = (r0, ramp)
+        near = near & ~far
+    elif multipole:
         far, mp = _multipole_far(
             f_grid, s_lo, s_hi, f0, inv_gd, z_imag, s_re, s_im, cutoff,
             swc, pw, igd_min, zi_min, nl, tl,
@@ -544,7 +685,7 @@ def _classify_visits(
     submask = jnp.sum(
         near3.astype(jnp.int32) << st[None, :, None], axis=1
     ).astype(jnp.int32)  # [nf, nl]
-    return visit, submask, mp, f0_lo, f0_hi, igd_min, zi_min
+    return visit, submask, mp, f0_lo, f0_hi, igd_min, zi_min, r0
 
 
 def _visit_lists(visit, nf, nl, max_visits):
@@ -572,7 +713,7 @@ def voigt_visit_bound(
     tf: int = 512, tl: int = 256,
     multipole: bool = True,
     mp_terms: int = _MP_TERMS, mp_kappa: float = _MP_KAPPA,
-    nsub: int = 1,
+    nsub: int = 1, coarse: int = 0, coarse_k: float = 40.0,
 ) -> int:
     """Exact max visited blocks per freq tile, on CONCRETE (numpy) inputs.
 
@@ -608,6 +749,7 @@ def voigt_visit_bound(
         visit, _, *_ = _classify_visits(
             f_grid, f0p, igdp, zip_, srp, sip, cutp, swc, pwp,
             nf, tf, nl, tl, multipole, mp_terms, mp_kappa, nsub,
+            coarse, coarse_k,
         )
         return int(np.asarray(jnp.sum(visit, axis=1)).max())
 
@@ -616,7 +758,7 @@ def voigt_visit_bound(
     jax.jit,
     static_argnames=(
         "tf", "tl", "n", "interpret", "multipole", "max_visits",
-        "mp_terms", "mp_kappa", "nsub",
+        "mp_terms", "mp_kappa", "nsub", "coarse", "coarse_k",
     ),
 )
 def voigt_sum(
@@ -638,6 +780,8 @@ def voigt_sum(
     mp_terms: int = _MP_TERMS,
     mp_kappa: float = _MP_KAPPA,
     nsub: int = 1,
+    coarse: int = 0,
+    coarse_k: float = 40.0,
 ):
     """Re sum_l s_l (w(z_l(f)) - wcut_l) masked to |f-f0_l| <= cut_l. [F].
 
@@ -667,16 +811,18 @@ def voigt_sum(
     # contribution = Re(s w) - Re(s wcut) inside the window
     swc = s_re * wcut_re - s_im * wcut_im
 
-    visit, submask, mp, f0_lo, f0_hi, igd_min, zi_min = _classify_visits(
+    visit, submask, mp, f0_lo, f0_hi, igd_min, zi_min, r0t = _classify_visits(
         f_grid, f0, inv_gd, z_imag, s_re, s_im, cutoff, swc,
         jnp.ones((f0.shape[0], 1), dtype),
         nf, tf, nl, tl, multipole, mp_terms, mp_kappa, nsub,
+        coarse, coarse_k,
     )
     max_visits = nl if max_visits is None else min(max_visits, nl)
     blkidx, nvisit = _visit_lists(visit, nf, nl, max_visits)
 
     col = lambda x: x.reshape(-1, 1)
 
+    nlinecols = 9 if coarse else 7
     grid_spec = pltpu.PrefetchScalarGridSpec(
         # blkidx, nvisit, submask, f0_lo, f0_hi, igd_min, zi_min
         num_scalar_prefetch=7,
@@ -693,18 +839,13 @@ def voigt_sum(
                 memory_space=pltpu.VMEM,
             )
         ]
-        * 7,
+        * nlinecols,
         out_specs=pl.BlockSpec(
             (8, tf), lambda i, j, b, nv, *_: (0, i), memory_space=pltpu.VMEM
         ),
     )
 
-    out = pl.pallas_call(
-        functools.partial(_voigt_kernel, n=n, nsub=nsub),
-        out_shape=jax.ShapeDtypeStruct((8, nf * tf), dtype),
-        grid_spec=grid_spec,
-        interpret=interpret,
-    )(
+    args = [
         blkidx,
         nvisit,
         submask,
@@ -720,9 +861,19 @@ def voigt_sum(
         col(s_im),
         col(cutoff),
         col(swc),
-    )
+    ]
+    if coarse:
+        r0, ramp = r0t
+        args += [col(r0), col(jnp.full_like(r0, 1.0 / ramp))]
+    out = pl.pallas_call(
+        functools.partial(_voigt_kernel, n=n, nsub=nsub,
+                          coarse=bool(coarse)),
+        out_shape=jax.ShapeDtypeStruct((8, nf * tf), dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(*args)
     total = jnp.sum(out, axis=0)
-    if multipole:
+    if coarse or multipole:
         total = total + mp[:, 0]
     return total[:F]
 
@@ -782,7 +933,7 @@ def voigt_sum_pol(
 
     swc = s_re * wcut_re - s_im * wcut_im
 
-    visit, submask, mp, f0_lo, f0_hi, igd_min, zi_min = _classify_visits(
+    visit, submask, mp, f0_lo, f0_hi, igd_min, zi_min, _ = _classify_visits(
         f_grid, f0, inv_gd, z_imag, s_re, s_im, cutoff, swc, pw,
         nf, tf, nl, tl, multipole, mp_terms, mp_kappa, nsub,
     )

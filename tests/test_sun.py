@@ -293,3 +293,65 @@ def test_sun_leg_tau_vs_brute_force_near_horizon():
     _, vis91 = sun_leg_tau(jnp.asarray(zg), jnp.asarray(k_mid),
                            jnp.asarray([30e3]), jnp.asarray(91.0))
     assert bool(np.asarray(vis91)[0])  # twilight: geometric leg clears
+
+
+def test_sun_leg_tau_refracted():
+    """sun_leg_tau with a refractive-index profile (Bouguer invariant,
+    VERDICT r5 item 9): converges to a 50x finer-shell evaluation of the
+    same continuous n(r), and bends the near-horizon leg deeper into the
+    atmosphere than the geometric one (larger twilight tau)."""
+    import numpy as np
+
+    from arts_tpu.fwd import sun_leg_tau
+    from arts_tpu.path.refraction import microwave_refractivity
+
+    zg = np.linspace(0.0, 80e3, 81)
+    zmid = 0.5 * (zg[:-1] + zg[1:])
+    k_prof = lambda z: 1e-5 * np.exp(-z / 8e3)
+    k_mid = k_prof(zmid)[:, None]
+    # Smith-Weintraub n(z) for an exponential dry atmosphere
+    p_prof = lambda z: 101325.0 * np.exp(-z / 7.5e3)
+    n_prof = lambda z: 1.0 + microwave_refractivity(p_prof(z), 280.0)
+    n_lvl = n_prof(zg)
+    alts = np.asarray([2e3, 20e3])
+
+    # truth: same shell model at 50x resolution (k piecewise per coarse
+    # shell, n sampled on the fine grid)
+    zf = np.linspace(0.0, 80e3, 4001)
+    zfm = 0.5 * (zf[:-1] + zf[1:])
+    lay = np.clip(np.searchsorted(zg, zfm) - 1, 0, len(zg) - 2)
+    kf = k_mid[lay]
+    nf = n_prof(zf)
+
+    for za in (85.0, 90.5, 92.0):
+        tau, vis = sun_leg_tau(
+            jnp.asarray(zg), jnp.asarray(k_mid), jnp.asarray(alts),
+            jnp.asarray(za), n_levels=jnp.asarray(n_lvl),
+        )
+        tau_f, vis_f = sun_leg_tau(
+            jnp.asarray(zf), jnp.asarray(kf), jnp.asarray(alts),
+            jnp.asarray(za), n_levels=jnp.asarray(nf),
+        )
+        np.testing.assert_array_equal(np.asarray(vis), np.asarray(vis_f))
+        for i in range(len(alts)):
+            if np.asarray(vis)[i]:
+                # near-tangent shells converge slowly (sqrt kink at
+                # the tangent radius): ~1% at 1-km shells is geometric
+                # discretization, not refraction algebra
+                np.testing.assert_allclose(
+                    np.asarray(tau)[i, 0], np.asarray(tau_f)[i, 0],
+                    rtol=2e-2, err_msg=f"za={za} alt={alts[i]}",
+                )
+
+    # twilight: the refracted leg dips deeper -> more tau than geometric
+    za = 91.0
+    tau_r, vis_r = sun_leg_tau(
+        jnp.asarray(zg), jnp.asarray(k_mid), jnp.asarray([20e3]),
+        jnp.asarray(za), n_levels=jnp.asarray(n_lvl),
+    )
+    tau_g, vis_g = sun_leg_tau(
+        jnp.asarray(zg), jnp.asarray(k_mid), jnp.asarray([20e3]),
+        jnp.asarray(za),
+    )
+    assert bool(np.asarray(vis_r)[0]) and bool(np.asarray(vis_g)[0])
+    assert float(tau_r[0, 0]) > float(tau_g[0, 0]) * 1.001

@@ -181,3 +181,54 @@ def test_multipole_far_field_matches_direct():
     np.testing.assert_allclose(
         p_mp, p_dir, atol=3e-6 * np.abs(p_dir).max(), rtol=1e-4
     )
+
+
+def test_coarse_far_field_matches_direct():
+    """The coarse-grid far tier (smooth chi/psi blend + Laurent tail on a
+    4x coarser grid + cubic Lagrange interpolation) equals the direct
+    evaluation to the design budget (~2.8 (h_c/r0)^4 of the local tail),
+    including the ByLine cutoff-subtraction edges, which stay in the
+    direct tier by construction (NOTES_ROUND4 traps a + b)."""
+    from arts_tpu.ops.voigt_kernel import voigt_sum
+
+    rng = np.random.default_rng(17)
+    L = 256
+    f0 = np.sort(rng.uniform(-40e9, 40e9, L))
+    igd = rng.uniform(2e-6, 4e-6, L)
+    zi = rng.uniform(1e5, 1e9, L) * igd  # Doppler-ish to broad rows
+    sr = rng.uniform(0.5, 2.0, L)
+    si = rng.uniform(-0.2, 0.2, L)
+    cut = np.where(rng.random(L) < 0.7, 25e9, 1e30)
+    wcut = np.where(
+        cut < 1e20,
+        np.asarray(wofz(jnp.asarray(igd * np.minimum(cut, 1e12) + 1j * zi))),
+        0.0,
+    )
+    f = jnp.linspace(-50e9, 50e9, 4096)
+
+    args = [jnp.asarray(x) for x in (f0, igd, zi, sr, si, cut,
+                                     wcut.real, wcut.imag)]
+    kw = dict(tf=256, tl=16, n=24, nsub=2, interpret=True)
+    y_c = np.asarray(voigt_sum(f, *args, coarse=4, **kw))
+    y_dir = np.asarray(voigt_sum(f, *args, multipole=False, **kw))
+    scale = np.abs(y_dir).max()
+    assert scale > 0
+    np.testing.assert_allclose(y_c, y_dir, atol=5e-6 * scale, rtol=1e-4)
+
+    # the far classification must actually fire at this geometry
+    from arts_tpu.ops.voigt_kernel import (
+        _classify_visits,
+        _pad_lines,
+    )
+
+    nf, tl_, tf_ = 4096 // 256, 16, 256
+    nl = -(-L // tl_)
+    padded = _pad_lines(nl, tl_, *args, jnp.ones((L, 1)))
+    f0p, igdp, zip_, srp, sip, cutp, wcrp, wcip, pwp = padded
+    swc = srp * wcrp - sip * wcip
+    visit, _, mp, *_ = _classify_visits(
+        f, f0p, igdp, zip_, srp, sip, cutp, swc, pwp,
+        nf, tf_, nl, tl_, False, 12, 3.5, 2, coarse=4,
+    )
+    n_far = nf * nl - int(np.asarray(visit).sum())
+    assert n_far > 0, "no (tile, block) pair classified far"

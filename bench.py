@@ -293,12 +293,18 @@ def main():
     # ones), so the f64 variant runs in a subprocess below.
     scene, f_grid = build_scene()
 
+    # anti-dedup nonce grids are prepared OUTSIDE the timed region: the
+    # i-Hz shift (<1e-11 relative) exists only to defeat the tunnel's
+    # execution cache, and as an eager op inside the loop it is its own
+    # tunnel dispatch charged to the pipeline
+    fgs = [f_grid + jnp.float32(i) for i in range(40)]
+    jax_block(fgs)
+
     def run(i):
         # two jits: absorption and the DISORT solve compile independently
         # (the fused whole-pipeline compile is pathologically slow on the
-        # remote-compile path).  The i-Hz grid shift (<1e-11 relative) is
-        # physically irrelevant but makes every execution distinct.
-        fg = f_grid + jnp.float32(i)
+        # remote-compile path)
+        fg = fgs[i % len(fgs)]
         k_gas = gas_absorption_profile(scene, fg, backend=backend)
         out = simulate_allsky(
             scene, fg, nquad=16, nfourier=1, backend=backend,
@@ -314,7 +320,7 @@ def main():
     try:  # LBL-only f32, both backends (kernel speedup ratio)
         lbl_reps = _timeit_reps(
             lambda i: gas_absorption_profile(
-                scene, f_grid + jnp.float32(i), backend=backend
+                scene, fgs[i % len(fgs)], backend=backend
             )
         )
         dt_p = _median(lbl_reps)
@@ -348,7 +354,7 @@ def main():
         if backend == "pallas":
             dt_x = _timeit(
                 lambda i: gas_absorption_profile(
-                    scene, f_grid + jnp.float32(i), backend="xla"
+                    scene, fgs[i % len(fgs)], backend="xla"
                 )
             )
             extras["lbl_pallas_vs_xla"] = dt_x / dt_p
@@ -475,9 +481,11 @@ def main():
         pzcat = pad_zeeman_catalog(zcat)
         ztune = tune_zeeman_profile(f_grid, pzcat)
         zp = functools.partial(zeeman_propmat_profile, **ztune)
+        ts = [pts.t + jnp.float32(i) * 1e-6 for i in range(16)]
+        jax_block(ts)
         dt_z = _timeit(
             lambda i: zp(
-                f_grid, pzcat, scene.pf, pts.t + jnp.float32(i) * 1e-6,
+                f_grid, pzcat, scene.pf, ts[i % len(ts)],
                 pts.p, pts.vmr, mag, 180.0,
             ),
             iters=3,
@@ -549,11 +557,14 @@ def main():
                   background="surface", observer=obs),
         ]
         atm0 = csc.atm
+        atms = [
+            dataclasses.replace(atm0, t=atm0.t + i * 1e-6)
+            for i in range(16)
+        ]
+        jax_block(atms)
 
         def y_of(i):
-            sc = dataclasses.replace(
-                csc, atm=dataclasses.replace(atm0, t=atm0.t + i * 1e-6)
-            )
+            sc = dataclasses.replace(csc, atm=atms[i % len(atms)])
             return measurement_vector_from_obsels(sc, obsels)[0]
 
         y_reps = _timeit_reps(y_of, iters=3, reps=3)

@@ -330,21 +330,29 @@ def main():
         # DISORT stage timed DIRECTLY (precomputed k_gas, nonce-scaled
         # per iteration so the tunnel cannot dedup) — not as the
         # difference of two separately-timed runs (VERDICT r4 weak #1).
-        # The nonce multiply lives INSIDE the jit: as an eager op it is
-        # its own tunnel dispatch (~6 ms for the [F, Z] array, measured
-        # in the first r5 driver run) and poisons the stage time.
+        # The nonce multiply lives INSIDE the jit (an eager op is its
+        # own ~6 ms tunnel dispatch), and FOUR solves run per dispatch:
+        # a single ~4 ms executable per iteration is dispatch-latency
+        # bound under the tunnel (measured 9.8 ms/iter), while the
+        # headline loop hides that latency behind its longer pipeline.
         k_gas0 = gas_absorption_profile(scene, f_grid, backend=backend)
+        _DIS_BATCH = 4
 
         @jax.jit
         def dis_run(k0, i):
-            return simulate_allsky(
-                scene, f_grid, nquad=16, nfourier=1, backend=backend,
-                fast_linalg=True, k_gas=k0 * (1.0 + i * 1e-7),
-            ).flux_up
+            acc = 0.0
+            for j in range(_DIS_BATCH):
+                acc = acc + simulate_allsky(
+                    scene, f_grid, nquad=16, nfourier=1, backend=backend,
+                    fast_linalg=True,
+                    k_gas=k0 * (1.0 + (_DIS_BATCH * i + j) * 1e-7),
+                ).flux_up
+            return acc
 
-        dis_reps = _timeit_reps(
-            lambda i: dis_run(k_gas0, jnp.float32(i))
-        )
+        dis_reps = [
+            r / _DIS_BATCH
+            for r in _timeit_reps(lambda i: dis_run(k_gas0, jnp.float32(i)))
+        ]
         extras["disort_stage_ms"] = _median(dis_reps) * 1e3
         extras["disort_rep_ms"] = [round(r * 1e3, 3) for r in dis_reps]
         # cross-check: directly-timed stages vs the headline wall time

@@ -571,9 +571,18 @@ def main():
         ]
         jax_block(atms)
 
+        # one jitted dispatch per y evaluation (the host-side dedup runs
+        # at trace time): both faster and production-representative —
+        # un-jitted, the pipeline's several dispatches are each charged
+        # the tunnel's per-dispatch latency
+        y_jit = jax.jit(
+            lambda a: measurement_vector_from_obsels(
+                dataclasses.replace(csc, atm=a), obsels
+            )[0]
+        )
+
         def y_of(i):
-            sc = dataclasses.replace(csc, atm=atms[i % len(atms)])
-            return measurement_vector_from_obsels(sc, obsels)[0]
+            return y_jit(atms[i % len(atms)])
 
         y_reps = _timeit_reps(y_of, iters=3, reps=3)
         dt_y = _median(y_reps)

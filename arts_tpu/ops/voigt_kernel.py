@@ -227,7 +227,7 @@ def _coarse_far(
     on = wblend > 0.0
     zr = jnp.where(on, igd[None, :] * df, 100.0)
     zim = jnp.where(on, jnp.broadcast_to(zi[None, :], zr.shape), 100.0)
-    wr, wi = _wofz_asym(zr, zim, terms=mid_terms)
+    wr, wi = _wofz_asym(zr, zim, terms=mid_terms, pl_recip=False)
     vals = (sr[None, :] * wr - si[None, :] * wi) - swc[None, :]
     contrib = jnp.where(on, wblend * vals, 0.0)  # [Fc, L]
     far_c = contrib @ pw.astype(dtype)  # [Fc, C]
@@ -325,16 +325,17 @@ _LAURENT_C = (1.0, 0.5, 0.75, 15.0 / 8.0, 105.0 / 16.0, 945.0 / 32.0,
               10395.0 / 64.0, 135135.0 / 128.0)
 
 
-def _wofz_asym(zr, zi, terms=None):
+def _wofz_asym(zr, zi, terms=None, pl_recip=True):
     """Laurent series w ~ i/(sqrt(pi) z) sum c_k z^-2k.
 
     Error ~ the first omitted term, c_T/|z|^2T.  Default term counts at
     the far gate |z|^2 > _ASYM_R2 = 512: 3 at f32 (1.9 |z|^-6 = 1.4e-8),
     4 at f64 (6.6 |z|^-8 = 9.4e-11).  The mid tier (_MID_R2) passes
     terms explicitly: 6 at f32 (|z|^2 >= 36 -> 7.4e-8), 8 at f64
-    (|z|^2 >= 150 -> 4e-14)."""
+    (|z|^2 >= 150 -> 4e-14).  pl_recip=False for XLA-side callers that
+    may sit under vmap (pl.reciprocal has no batching rule)."""
     r2 = zr * zr + zi * zi
-    inv_r2 = _reciprocal(r2)
+    inv_r2 = _reciprocal(r2) if pl_recip else 1.0 / r2
     # 1/z^2 = (zr^2 - zi^2 - 2 i zr zi)/|z|^4
     u_r = (zr * zr - zi * zi) * inv_r2 * inv_r2
     u_i = (-2.0 * zr * zi) * inv_r2 * inv_r2

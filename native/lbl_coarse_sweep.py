@@ -45,15 +45,16 @@ def main():
     cat, pf = scene.cat, scene.pf
 
     def profile_fn(**kw):
-        def run(i):
-            fg = f_grid + jnp.float32(i)
+        @jax.jit
+        def jrun(i):
+            fg = f_grid + i
 
             def one(t, p, v):
                 return absorption_pallas(fg, cat, pf, t, p, v, **kw)
 
             return jax.vmap(one)(pts.t, pts.p, pts.vmr)
 
-        return run
+        return lambda i: jrun(jnp.float32(i))
 
     # XLA reference for accuracy
     from arts_tpu.lbl.voigt import absorption

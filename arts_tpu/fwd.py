@@ -44,6 +44,51 @@ def _emission_fn(rte_option: str):
     }[check_option(RteOption, rte_option)]
 
 
+# static lbl_tuning tuple ordering (lbl.voigt.tune_lbl_kernel's dict keys)
+LBL_TUNING_KEYS = (
+    "tf", "tl", "max_visits", "mp_terms", "mp_kappa", "nsub",
+    "coarse", "coarse_k",
+)
+
+
+def species_absorption(
+    scene, fg, t, p, v, block: int = 256, backend: str = "xla",
+    lbl_tuning: tuple | None = None,
+):
+    """Per-point gas absorption assembly shared by every forward
+    operator: line catalog (XLA / realpair / Pallas backends) +
+    predefined continuum models + ECS line-mixing bands (when the scene
+    carries them).  One definition keeps the clearsky, 3D, level-cache
+    and allsky operators in sync (spectral_propmat_agendaAuto parity,
+    src/m_abs.cc:234-300)."""
+    a = jnp.zeros_like(fg)
+    if scene.cat is not None and scene.cat.n_lines > 0:
+        if backend == "pallas":
+            from .lbl.voigt import absorption_pallas
+
+            tune = (
+                dict(zip(LBL_TUNING_KEYS, lbl_tuning)) if lbl_tuning else {}
+            )
+            a = a + absorption_pallas(
+                fg, scene.cat, scene.pf, t, p, v, **tune
+            )
+        else:
+            a = a + absorption(
+                fg, scene.cat, scene.pf, t, p, v, block=block,
+                realpair=(backend == "xla_realpair"),
+            )
+    if scene.predef:
+        from .predefined import predefined_absorption
+
+        vmrs = {tag: v[i] for i, tag in enumerate(scene.species_names)}
+        a = a + predefined_absorption(scene.predef, fg, t, p, vmrs)
+    for band, sidx, iidx, irat in getattr(scene, "ecs_bands", ()):
+        from .lbl.ecs import ecs_absorption
+
+        a = a + ecs_absorption(fg, band, scene.pf, iidx, t, p, v[sidx], irat)
+    return a
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class ClearskyScene:
@@ -139,20 +184,7 @@ def simulate_clearsky(
         dshift = jnp.ones(path_alt.shape, f_grid.dtype)
 
     def point_abs(t, p, v, d):
-        fg = f_grid * d
-        a = jnp.zeros_like(f_grid)
-        if scene.cat is not None and scene.cat.n_lines > 0:
-            a = a + absorption(fg, scene.cat, scene.pf, t, p, v, block=block)
-        if scene.predef:
-            from .predefined import predefined_absorption
-
-            vmrs = {tag: v[i] for i, tag in enumerate(scene.species_names)}
-            a = a + predefined_absorption(scene.predef, fg, t, p, vmrs)
-        for band, sidx, iidx, irat in scene.ecs_bands:
-            from .lbl.ecs import ecs_absorption
-
-            a = a + ecs_absorption(fg, band, scene.pf, iidx, t, p, v[sidx], irat)
-        return a
+        return species_absorption(scene, f_grid * d, t, p, v, block=block)
 
     with jax.named_scope("propmat"):  # ARTS_TIME_REPORT scope parity
         k = jax.vmap(point_abs)(pts.t, pts.p, pts.vmr, dshift)  # [np, F]
@@ -209,19 +241,16 @@ def simulate_clearsky(
         if sun_refraction:
             # traced Smith-Weintraub refractivity on the levels (the
             # reference's refracted sun paths via
-            # ray_point_back_propagation_agenda); H2O partial pressure
-            # from the named species row when present
-            p_hpa = lv.p / 100.0
-            if "H2O" in scene.species_names:
-                e_hpa = p_hpa * lv.vmr[:, scene.species_names.index("H2O")]
-            else:
-                e_hpa = jnp.zeros_like(p_hpa)
-            N_u = (
-                77.6 * (p_hpa - e_hpa) / lv.t
-                + 72.0 * e_hpa / lv.t
-                + 3.75e5 * e_hpa / lv.t**2
+            # ray_point_back_propagation_agenda); H2O VMR from the named
+            # species row when present
+            from .path.refraction import microwave_refractivity
+
+            h2o = (
+                lv.vmr[:, scene.species_names.index("H2O")]
+                if "H2O" in scene.species_names
+                else jnp.zeros_like(lv.p)
             )
-            n_lvl = 1.0 + N_u * 1e-6
+            n_lvl = 1.0 + microwave_refractivity(lv.p, lv.t, h2o)
         tau_p, visible = sun_leg_tau(
             zg, k_mid, jnp.asarray(path_alt, f_grid.dtype),
             jnp.asarray(sun_za, f_grid.dtype), n_levels=n_lvl,
@@ -319,42 +348,29 @@ def gas_absorption_levels(
     reference's per-path-point cache in fwd_spectral_radiance.h:40-85,
     hoisted to a whole-profile precompute that feeds the Pallas kernel a
     single big launch).  backend="pallas" uses the block-skip Voigt
-    kernel (lbl.voigt.absorption_pallas)."""
+    kernel (lbl.voigt.absorption_pallas).
+
+    Unsupported scene features fail loudly rather than silently
+    producing LTE radiances: NLTE scenes need the per-point source
+    term (use simulate_clearsky); wind scenes need per-point Doppler
+    grids (no shared level cache exists)."""
+    if scene.nlte is not None:
+        raise ValueError(
+            "gas_absorption_levels has no NLTE source term — NLTE "
+            "scenes must use simulate_clearsky (per-point evaluation)"
+        )
+    if scene.atm.wind is not None:
+        raise ValueError(
+            "gas_absorption_levels cannot cache a wind (Doppler) scene: "
+            "the per-point frequency shift breaks the shared level grid"
+        )
     pts = scene.atm.at(scene.atm.z)
 
     def point_abs(t, p, v):
-        a = jnp.zeros_like(f_grid)
-        if scene.cat is not None and scene.cat.n_lines > 0:
-            if backend == "pallas":
-                from .lbl.voigt import absorption_pallas
-
-                tune = {}
-                if lbl_tuning is not None:
-                    tune = dict(
-                        zip(("tf", "tl", "max_visits", "mp_terms",
-                             "mp_kappa", "nsub", "coarse", "coarse_k"),
-                            lbl_tuning)
-                    )
-                a = a + absorption_pallas(
-                    f_grid, scene.cat, scene.pf, t, p, v, **tune
-                )
-            else:
-                a = a + absorption(
-                    f_grid, scene.cat, scene.pf, t, p, v, block=block,
-                    realpair=(backend == "xla_realpair"),
-                )
-        if scene.predef:
-            from .predefined import predefined_absorption
-
-            vmrs = {tag: v[i] for i, tag in enumerate(scene.species_names)}
-            a = a + predefined_absorption(scene.predef, f_grid, t, p, vmrs)
-        for band, sidx, iidx, irat in scene.ecs_bands:
-            from .lbl.ecs import ecs_absorption
-
-            a = a + ecs_absorption(
-                f_grid, band, scene.pf, iidx, t, p, v[sidx], irat
-            )
-        return a
+        return species_absorption(
+            scene, f_grid, t, p, v, block=block, backend=backend,
+            lbl_tuning=lbl_tuning,
+        )
 
     with jax.named_scope("propmat_levels"):
         return jax.vmap(point_abs)(pts.t, pts.p, pts.vmr)
@@ -680,20 +696,7 @@ def simulate_clearsky_3d(
         dshift = jnp.ones(jnp.shape(path_alt), f_grid.dtype)
 
     def point_abs(t, p, v, d):
-        fg = f_grid * d
-        a = jnp.zeros_like(f_grid)
-        if scene.cat is not None and scene.cat.n_lines > 0:
-            a = a + absorption(fg, scene.cat, scene.pf, t, p, v, block=block)
-        if scene.predef:
-            from .predefined import predefined_absorption
-
-            vmrs = {tag: v[i] for i, tag in enumerate(scene.species_names)}
-            a = a + predefined_absorption(scene.predef, fg, t, p, vmrs)
-        for band, sidx, iidx, irat in scene.ecs_bands:
-            from .lbl.ecs import ecs_absorption
-
-            a = a + ecs_absorption(fg, band, scene.pf, iidx, t, p, v[sidx], irat)
-        return a
+        return species_absorption(scene, f_grid * d, t, p, v, block=block)
 
     k = jax.vmap(point_abs)(pts.t, pts.p, pts.vmr, dshift)
     J = planck(f_grid[None, :], pts.t[:, None])

@@ -103,34 +103,15 @@ def gas_absorption_profile(scene: AllskyScene, f_grid, block: int = 256,
     pts = scene.atm.at(z)
 
     def gas_abs(t, p, v):
-        a = jnp.zeros_like(f_grid)
-        if scene.cat is not None and scene.cat.n_lines > 0:
-            if backend == "pallas":
-                from .lbl.voigt import absorption_pallas
+        # shared assembly (fwd.species_absorption): catalog via the
+        # requested backend ("xla_realpair" is the only LBL formulation
+        # the TPU x64 rewriter can compile) + predefined models
+        from .fwd import species_absorption
 
-                tune = {}
-                if lbl_tuning is not None:
-                    tune = dict(
-                        zip(("tf", "tl", "max_visits", "mp_terms",
-                             "mp_kappa", "nsub", "coarse", "coarse_k"),
-                            lbl_tuning)
-                    )
-                a = a + absorption_pallas(
-                    f_grid, scene.cat, scene.pf, t, p, v, **tune
-                )
-            else:
-                # "xla_realpair": identical math, no complex dtypes — the
-                # only LBL formulation the TPU x64 rewriter can compile
-                a = a + absorption(
-                    f_grid, scene.cat, scene.pf, t, p, v, block=block,
-                    realpair=(backend == "xla_realpair"),
-                )
-        if scene.predef:
-            from .predefined import predefined_absorption
-
-            vmrs = {tag: v[i] for i, tag in enumerate(scene.species_names)}
-            a = a + predefined_absorption(scene.predef, f_grid, t, p, vmrs)
-        return a
+        return species_absorption(
+            scene, f_grid, t, p, v, block=block, backend=backend,
+            lbl_tuning=lbl_tuning,
+        )
 
     with jax.named_scope("propmat"):  # ARTS_TIME_REPORT scope parity
         return jnp.moveaxis(jax.vmap(gas_abs)(pts.t, pts.p, pts.vmr), 0, 1)

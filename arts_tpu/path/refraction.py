@@ -17,9 +17,13 @@ from .geometry import EARTH_RADIUS, PathGeometry
 
 def microwave_refractivity(p, t, h2o_vmr=0.0):
     """n - 1 from the Smith-Weintraub formula (N-units 77.6 p/T +
-    3.73e5 e/T^2 with p, e in hPa)."""
-    p_hpa = np.asarray(p) / 100.0
-    e_hpa = p_hpa * np.asarray(h2o_vmr)
+    3.73e5 e/T^2 with p, e in hPa).
+
+    Array-module agnostic (plain arithmetic): numpy arrays host-side,
+    traced jnp arrays inside jit (fwd.simulate_clearsky's refracted
+    sun leg calls it with traced level state)."""
+    p_hpa = p / 100.0
+    e_hpa = p_hpa * h2o_vmr
     N = 77.6 * (p_hpa - e_hpa) / t + 72.0 * e_hpa / t + 3.75e5 * e_hpa / t**2
     return N * 1e-6
 

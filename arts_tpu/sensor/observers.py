@@ -47,11 +47,31 @@ def clearsky_observer_cached(
     O(dz^2) between levels.  Not for wind (Doppler) scenes."""
     from ..fwd import gas_absorption_levels, simulate_clearsky_from_levels
 
+    # identity-keyed memo: a mixed-background batch makes _simulate_batch
+    # call run() once per background group with the SAME (scene, f_grid)
+    # — without the memo each group would re-run the whole level-grid
+    # LBL sweep.  Under an outer jit trace the memo is bypassed (caching
+    # a tracer across traces would be invalid; XLA CSE dedups identical
+    # subgraphs within one trace); the strong refs in the memo keep the
+    # keyed objects alive so their ids cannot be reused.
+    memo = {}
+
     def run(scene, f_grid, alts, drs, zas, background):
-        k_lvl = gas_absorption_levels(
+        traced = any(
+            isinstance(x, jax.core.Tracer)
+            for x in jax.tree_util.tree_leaves((scene, f_grid))
+        )
+        compute = lambda: gas_absorption_levels(
             scene, f_grid, block=block, backend=backend,
             lbl_tuning=lbl_tuning,
         )
+        if traced:
+            k_lvl = compute()
+        else:
+            key = (id(scene), id(f_grid))
+            if memo.get("key") != key:
+                memo.update(key=key, ref=(scene, f_grid), k=compute())
+            k_lvl = memo["k"]
         sim = jax.vmap(
             lambda a, d: simulate_clearsky_from_levels(
                 k_lvl, scene, f_grid, a, d, background=background,

@@ -297,8 +297,14 @@ def main():
     # i-Hz shift (<1e-11 relative) exists only to defeat the tunnel's
     # execution cache, and as an eager op inside the loop it is its own
     # tunnel dispatch charged to the pipeline
-    fgs = [f_grid + jnp.float32(i) for i in range(40)]
-    jax_block(fgs)
+    # disjoint nonce slices per timed section: replaying the SAME
+    # (executable, input) pair a later section already executed would
+    # re-expose the tunnel's execution dedup (53 us vs 118 ms)
+    fgs_all = [f_grid + jnp.float32(i) for i in range(56)]
+    jax_block(fgs_all)
+    fgs = fgs_all[:20]
+    fgs_lbl = fgs_all[20:40]
+    fgs_x = fgs_all[40:]
 
     def run(i):
         # two jits: absorption and the DISORT solve compile independently
@@ -320,7 +326,7 @@ def main():
     try:  # LBL-only f32, both backends (kernel speedup ratio)
         lbl_reps = _timeit_reps(
             lambda i: gas_absorption_profile(
-                scene, fgs[i % len(fgs)], backend=backend
+                scene, fgs_lbl[i % len(fgs_lbl)], backend=backend
             )
         )
         dt_p = _median(lbl_reps)
@@ -362,7 +368,7 @@ def main():
         if backend == "pallas":
             dt_x = _timeit(
                 lambda i: gas_absorption_profile(
-                    scene, fgs[i % len(fgs)], backend="xla"
+                    scene, fgs_x[i % len(fgs_x)], backend="xla"
                 )
             )
             extras["lbl_pallas_vs_xla"] = dt_x / dt_p

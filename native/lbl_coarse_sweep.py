@@ -68,15 +68,27 @@ def main():
     kref = np.asarray(jax.jit(xla_ref)())
     scale = np.abs(kref).max()
 
-    configs = [
-        dict(tag="r4-default", tf=512, tl=256),
-        dict(tag="c2-tl64-tf512", tf=512, tl=64, coarse=2),
-        dict(tag="c2-tl64-tf1024", tf=1024, tl=64, coarse=2),
-        dict(tag="c2-tl128-tf1024", tf=1024, tl=128, coarse=2),
-        dict(tag="c4-tl64-tf512", tf=512, tl=64, coarse=4),
-        dict(tag="c2-tl64-tf512-ns4", tf=512, tl=64, coarse=2, nsub=4),
-        dict(tag="c2-tl32-tf1024", tf=1024, tl=32, coarse=2),
-    ]
+    import sys as _sys
+
+    if "--tiles" in _sys.argv:
+        configs = [
+            dict(tag="tf512-tl256 (default)", tf=512, tl=256),
+            dict(tag="tf1024-tl256", tf=1024, tl=256),
+            dict(tag="tf2048-tl256", tf=2048, tl=256),
+            dict(tag="tf1024-tl512", tf=1024, tl=512),
+            dict(tag="tf512-tl128", tf=512, tl=128),
+            dict(tag="tf2048-tl128", tf=2048, tl=128),
+        ]
+    else:
+        configs = [
+            dict(tag="r4-default", tf=512, tl=256),
+            dict(tag="c2-tl64-tf512", tf=512, tl=64, coarse=2),
+            dict(tag="c2-tl64-tf1024", tf=1024, tl=64, coarse=2),
+            dict(tag="c2-tl128-tf1024", tf=1024, tl=128, coarse=2),
+            dict(tag="c4-tl64-tf512", tf=512, tl=64, coarse=4),
+            dict(tag="c2-tl64-tf512-ns4", tf=512, tl=64, coarse=2, nsub=4),
+            dict(tag="c2-tl32-tf1024", tf=1024, tl=32, coarse=2),
+        ]
     results = []
     for cfg in configs:
         cfg = dict(cfg)

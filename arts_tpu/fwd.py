@@ -73,9 +73,12 @@ def species_absorption(
                 fg, scene.cat, scene.pf, t, p, v, **tune
             )
         else:
+            # realpair None = auto (f64 on a non-CPU backend selects the
+            # complex-free formulation — the TPU x64 rewriter cannot
+            # compile c128); forcing False there SIGABRTs the compile
             a = a + absorption(
                 fg, scene.cat, scene.pf, t, p, v, block=block,
-                realpair=(backend == "xla_realpair"),
+                realpair=(True if backend == "xla_realpair" else None),
             )
     if scene.predef:
         from .predefined import predefined_absorption

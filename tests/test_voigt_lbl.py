@@ -215,3 +215,29 @@ def test_absorption_realpair_matches_complex_path():
     )
     scale = a_c.max()
     np.testing.assert_allclose(a_r, a_c, rtol=1e-9, atol=1e-12 * scale)
+
+
+def test_species_absorption_auto_realpair_on_accelerators():
+    """fwd.species_absorption must preserve absorption()'s realpair=None
+    auto-dispatch: an f64 trace on a non-CPU backend selects the
+    complex-free formulation (the TPU x64 rewriter cannot compile c128 —
+    forcing realpair=False there SIGABRTs the tunnel compile helper,
+    caught as a round-5 regression in the driver's entry() check)."""
+    import unittest.mock as mock
+
+    import jax
+
+    import arts_tpu.lbl.voigt as voigt_mod
+    from arts_tpu.fwd import ClearskyScene, species_absorption
+
+    scene = ClearskyScene(atm=None, cat=CAT, pf=PF)
+    f = jnp.linspace(99e9, 101e9, 64, dtype=jnp.float64)
+    with mock.patch.object(voigt_mod.jax, "default_backend", lambda: "tpu"):
+        jaxpr = jax.make_jaxpr(
+            lambda fg: species_absorption(scene, fg, 250.0, 5e3,
+                                          jnp.asarray([0.01]))
+        )(f)
+    assert "complex" not in repr(jaxpr), (
+        "f64 species_absorption traced complex dtypes for a non-CPU "
+        "backend — realpair auto-dispatch lost"
+    )
